@@ -1,0 +1,32 @@
+"""Global configuration for tt_sketch_tpu.
+
+The library's accuracy contract (exact recovery of low-rank tensors to ~1e-9
+relative error, parity with the CPU reference) requires float64 for the small
+rank-sized factorizations (QR / SVD / lstsq) and for the counter-based RNG's
+uint64 hash pipeline.  We therefore enable JAX x64 mode at import time unless
+the user opts out via ``TT_SKETCH_TPU_NO_X64=1``.
+
+Throughput-critical contractions can still run in float32/bfloat16: every
+public entry point takes a ``dtype`` argument, and x64 mode only changes the
+*default* dtype of literals, not of explicitly-typed arrays.
+
+Reference behavior being reproduced: the reference library is float64 NumPy
+throughout (see /root/reference/tt_sketch/utils.py).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+if not os.environ.get("TT_SKETCH_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+#: Default dtype for sketch computations.  float64 matches the CPU reference;
+#: pass dtype=jnp.float32 to the public APIs for the TPU fast path.
+DEFAULT_DTYPE = np.float64 if not os.environ.get("TT_SKETCH_TPU_NO_X64") else np.float32
+
+
+def default_dtype():
+    return DEFAULT_DTYPE
