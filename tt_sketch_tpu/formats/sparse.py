@@ -1,0 +1,116 @@
+"""Sparse COO tensor format (parity: reference tensor.py:185-291).
+
+``indices`` is a ``(d, nnz)`` integer array, ``entries`` an ``(nnz,)`` float
+array.  ``split`` is the nnz-sharding primitive the streaming/distributed
+story is built on (each shard is sketched independently; partial sketches
+add exactly by linearity).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tt_sketch_tpu.formats.base import Tensor
+from tt_sketch_tpu.utils import random_normal
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseTensor(Tensor):
+    def __init__(self, shape: Tuple[int, ...], indices, entries) -> None:
+        if isinstance(indices, (tuple, list)):
+            indices = np.stack([np.asarray(i) for i in indices])
+        self.shape = tuple(int(s) for s in shape)
+        self.indices = jnp.asarray(indices)
+        self.entries = jnp.asarray(entries)
+
+    def tree_flatten(self):
+        return (self.indices, self.entries), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux, children[0], children[1])
+
+    @property
+    def T(self) -> SparseTensor:
+        return SparseTensor(self.shape[::-1], self.indices[::-1], self.entries)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.entries.shape[0])
+
+    @property
+    def size(self) -> int:
+        return self.nnz * (self.ndim + 1)
+
+    def split(self, n_summands: int):
+        """Split nnz into ``n_summands`` contiguous shards (a TensorSum)."""
+        from tt_sketch_tpu.formats.tensor_sum import TensorSum
+
+        block = self.nnz // n_summands
+        parts: List[Tensor] = []
+        for i in range(n_summands):
+            sl = slice(i * block, (i + 1) * block if i < n_summands - 1 else self.nnz)
+            parts.append(
+                SparseTensor(self.shape, self.indices[:, sl], self.entries[sl])
+            )
+        return TensorSum(parts)
+
+    def to_dense(self) -> jnp.ndarray:
+        X = jnp.zeros(self.shape, dtype=self.entries.dtype)
+        return X.at[tuple(self.indices)].add(self.entries)
+
+    def norm(self) -> float:
+        return float(jnp.linalg.norm(self.entries))
+
+    def dot(self, other, reverse: bool = False) -> float:
+        if hasattr(other, "gather"):
+            other_entries = other.gather(self.indices)
+            return float(jnp.dot(other_entries, self.entries))
+        return super().dot(other, reverse=reverse)
+
+    def gather(self, indices) -> jnp.ndarray:
+        """Entries of this tensor at the queried multi-indices (0 if absent).
+
+        Implemented with sorted flat indices + searchsorted (no Python dict,
+        unlike the reference's per-query hash lookup, tensor.py:275-291).
+        """
+        indices = jnp.asarray(indices)
+        my_flat = jnp.ravel_multi_index(
+            tuple(self.indices), self.shape, mode="clip"
+        )
+        q_flat = jnp.ravel_multi_index(tuple(indices), self.shape, mode="clip")
+        order = jnp.argsort(my_flat)
+        sorted_flat = my_flat[order]
+        sorted_entries = self.entries[order]
+        pos = jnp.searchsorted(sorted_flat, q_flat)
+        pos = jnp.clip(pos, 0, len(sorted_flat) - 1)
+        hit = sorted_flat[pos] == q_flat
+        return jnp.where(hit, sorted_entries[pos], 0.0)
+
+    def __mul__(self, other: float) -> SparseTensor:
+        return SparseTensor(self.shape, self.indices, self.entries * other)
+
+    def __repr__(self) -> str:
+        return (
+            f"<Sparse tensor of shape {self.shape} with {self.nnz} "
+            f"non-zero entries>"
+        )
+
+    @classmethod
+    def random(
+        cls,
+        shape: Tuple[int, ...],
+        nnz: int,
+        seed: Optional[int] = None,
+        dtype=None,
+    ) -> SparseTensor:
+        """``nnz`` distinct random positions with Gaussian values."""
+        rng = np.random.default_rng(np.random.SeedSequence(seed))
+        total = int(np.prod(shape))
+        flat = rng.choice(total, size=nnz, replace=False)
+        indices = np.stack(np.unravel_index(flat, shape))
+        entries = random_normal((nnz,), seed=seed, dtype=dtype)
+        return cls(shape, indices, entries)
