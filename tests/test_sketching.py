@@ -1,0 +1,305 @@
+"""The heart of the test suite: algebraic property tests of the sketching
+engine over the (format × DRM × method) matrix.
+
+Ports the reference's strategy (tests/test_sketching_matrix.py): exact
+recovery of tensors with true TT rank ≤ sketch rank, seed determinism,
+linearity of the sketch map, blocked-sketch equivalence, rank-increase
+consistency, oversampling robustness, assembly direction agreement,
+capability defaults, and sketched-TT arithmetic.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tt_sketch_tpu.drm import (
+    DenseGaussianDRM,
+    SparseGaussianDRM,
+    SparseSignDRM,
+    TensorTrainDRM,
+)
+from tt_sketch_tpu.engine.dispatch import SketchMethod, general_sketch
+from tt_sketch_tpu.engine.sketch import (
+    SketchedTensorTrain,
+    assemble_sketched_tt,
+    blocked_stream_sketch,
+    get_drm_capabilities,
+    hmt_sketch,
+    orthogonal_sketch,
+    stream_sketch,
+)
+from tt_sketch_tpu.formats import (
+    CPTensor,
+    DenseTensor,
+    SparseTensor,
+    TensorSum,
+    TensorTrain,
+    TuckerTensor,
+)
+
+SHAPE = (5, 6, 7, 4)
+RANK = 2
+
+SPARSE_DRMS = [TensorTrainDRM, SparseGaussianDRM, SparseSignDRM, DenseGaussianDRM]
+TT_DRMS = [TensorTrainDRM, DenseGaussianDRM]
+DENSE_DRMS = [TensorTrainDRM, DenseGaussianDRM]
+CP_DRMS = [TensorTrainDRM]
+TUCKER_DRMS = [TensorTrainDRM]
+
+
+def low_rank_sparse(shape, rank, seed=0):
+    """A sparse tensor that is exactly low TT rank: a dense low-rank TT
+    viewed as COO over all entries."""
+    tt = TensorTrain.random(shape, rank, seed=seed)
+    return DenseTensor(tt.to_dense()).to_sparse()
+
+
+def make_low_rank(fmt, shape=SHAPE, rank=RANK, seed=0):
+    if fmt == "tt":
+        return TensorTrain.random(shape, rank, seed=seed)
+    if fmt == "dense":
+        return DenseTensor(TensorTrain.random(shape, rank, seed=seed).to_dense())
+    if fmt == "sparse":
+        return low_rank_sparse(shape, rank, seed=seed)
+    if fmt == "cp":
+        return CPTensor.random(shape, rank, seed=seed)
+    if fmt == "tucker":
+        return TuckerTensor.random(shape, 2, seed=seed)
+    if fmt == "sum":
+        return TensorTrain.random(shape, 1, seed=seed) + TensorTrain.random(
+            shape, 1, seed=seed + 1
+        ) + TensorTrain.random(shape, 1, seed=seed + 2)
+    raise ValueError(fmt)
+
+
+FMT_DRMS = {
+    "tt": TT_DRMS,
+    "dense": DENSE_DRMS,
+    "sparse": SPARSE_DRMS,
+    "cp": CP_DRMS,
+    "tucker": TUCKER_DRMS,
+    "sum": [TensorTrainDRM],
+}
+
+
+def recover(tensor, left_rank, right_rank, drm_type, seed, method="stream"):
+    if method == "stream":
+        return stream_sketch(
+            tensor,
+            left_rank,
+            right_rank,
+            seed=seed,
+            left_drm_type=drm_type,
+            right_drm_type=drm_type,
+        ).to_tt()
+    if method == "orth":
+        return orthogonal_sketch(
+            tensor,
+            left_rank,
+            right_rank,
+            seed=seed,
+            left_drm_type=drm_type,
+            right_drm_type=drm_type,
+        )
+    if method == "hmt":
+        return hmt_sketch(tensor, right_rank, seed=seed, drm_type=drm_type)
+    raise ValueError(method)
+
+
+@pytest.mark.parametrize("fmt", ["tt", "dense", "sparse", "cp", "tucker", "sum"])
+@pytest.mark.parametrize("method", ["stream", "orth", "hmt"])
+def test_exact_recovery(fmt, method):
+    """Sketch rank ≥ true rank ⇒ recovery to ~1e-9 relative error."""
+    tensor = make_low_rank(fmt)
+    for drm_type in FMT_DRMS[fmt]:
+        if method == "hmt" and not issubclass(
+            drm_type, FMT_DRMS[fmt][0].__mro__[0]
+        ):
+            pass
+        try:
+            tt = recover(tensor, (3, 4, 3), (4, 6, 4), drm_type, seed=17, method=method)
+        except (AttributeError, ValueError):
+            # DRM lacks this format capability (e.g. SparseSign × hmt-left)
+            continue
+        err = tt.error(tensor, relative=True)
+        assert err < 1e-8, f"{fmt} {method} {drm_type.__name__}: err={err}"
+
+
+@pytest.mark.parametrize("method", ["stream", "orth", "hmt"])
+def test_seed_determinism(method):
+    tensor = make_low_rank("sparse")
+    a = recover(tensor, 5, 8, SparseGaussianDRM, seed=3, method=method)
+    b = recover(tensor, 5, 8, SparseGaussianDRM, seed=3, method=method)
+    c = recover(tensor, 5, 8, SparseGaussianDRM, seed=4, method=method)
+    np.testing.assert_array_equal(
+        np.asarray(a.to_dense()), np.asarray(b.to_dense())
+    )
+    # different seed: not bitwise identical (recovery may agree numerically)
+    assert not np.array_equal(np.asarray(a.to_dense()), np.asarray(c.to_dense()))
+
+
+def test_left_bigger_stream():
+    """Streaming works with left rank > right rank (left assembly sweep)."""
+    tensor = make_low_rank("tt")
+    tt = stream_sketch(tensor, 8, 5, seed=7).to_tt()
+    assert tt.error(tensor, relative=True) < 1e-8
+
+
+def test_sketch_linearity():
+    """sketch(A) + sketch(B) == sketch(A + B) exactly (same DRMs)."""
+    A = TensorTrain.random(SHAPE, 2, seed=0)
+    B = TensorTrain.random(SHAPE, 2, seed=1)
+    s_sum, left_drm, right_drm = stream_sketch(
+        A + B, 5, 9, seed=5, return_drm=True
+    )
+    sA = stream_sketch(A, 5, 9, left_drm=left_drm, right_drm=right_drm)
+    sB = stream_sketch(B, 5, 9, left_drm=left_drm, right_drm=right_drm)
+    combined = sA.sketch_ + sB.sketch_
+    for P1, P2 in zip(combined.Psi_cores, s_sum.sketch_.Psi_cores):
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-12)
+    for O1, O2 in zip(combined.Omega_mats, s_sum.sketch_.Omega_mats):
+        np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=1e-12)
+
+
+def test_streaming_update_add():
+    """``sketched + tensor`` equals sketching the sum up to float assoc."""
+    A = TensorTrain.random(SHAPE, 2, seed=0)
+    B = TensorTrain.random(SHAPE, 2, seed=1)
+    sA, left_drm, right_drm = stream_sketch(A, 6, 10, seed=5, return_drm=True)
+    updated = sA + B
+    direct = stream_sketch(
+        A + B, 6, 10, left_drm=left_drm, right_drm=right_drm
+    )
+    np.testing.assert_allclose(
+        np.asarray(updated.to_dense()), np.asarray(direct.to_dense()), atol=1e-10
+    )
+
+
+def test_sparse_split_sketch_equality():
+    """Sketching a split TensorSum == sketching the whole sparse tensor."""
+    X = SparseTensor.random(SHAPE, nnz=50, seed=0)
+    split = X.split(3)
+    s1, l, r = stream_sketch(X, 4, 7, seed=11, return_drm=True)
+    s2 = stream_sketch(split, 4, 7, left_drm=l, right_drm=r)
+    for P1, P2 in zip(s1.Psi_cores, s2.Psi_cores):
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-12)
+    for O1, O2 in zip(s1.Omega_mats, s2.Omega_mats):
+        np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=1e-12)
+
+
+@pytest.mark.parametrize("drm_type", [SparseGaussianDRM, SparseSignDRM, TensorTrainDRM])
+def test_blocked_sketch_equivalence(drm_type):
+    """Any rank-slicing grid reproduces the unblocked sketch exactly."""
+    tensor = low_rank_sparse(SHAPE, 2, seed=2)
+    d = len(SHAPE)
+    left_rank, right_rank = (5,) * (d - 1), (8,) * (d - 1)
+    left_drm = drm_type(left_rank, shape=SHAPE, transpose=False, seed=21)
+    right_drm = drm_type(right_rank, shape=SHAPE, transpose=True, seed=22)
+
+    unblocked = general_sketch(
+        tensor, left_drm, right_drm, SketchMethod.streaming
+    )
+    left_slices = [(0,) * (d - 1), (2,) * (d - 1), (5,) * (d - 1)]
+    right_slices = [(0,) * (d - 1), (3,) * (d - 1), (6,) * (d - 1), (8,) * (d - 1)]
+    blocked = blocked_stream_sketch(
+        tensor, left_drm, right_drm, left_slices, right_slices
+    )
+    for P1, P2 in zip(unblocked.Psi_cores, blocked.Psi_cores):
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-12)
+    for O1, O2 in zip(unblocked.Omega_mats, blocked.Omega_mats):
+        np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=1e-12)
+
+
+@pytest.mark.parametrize("drm_type", [SparseGaussianDRM, DenseGaussianDRM])
+def test_rank_increase_consistency(drm_type):
+    """Old sketch is the leading block of the increased sketch, and the
+    increased sketch equals a from-scratch sketch at the bigger rank."""
+    tensor = low_rank_sparse(SHAPE, 2, seed=5)
+    small = stream_sketch(
+        tensor, 4, 6, seed=31, left_drm_type=drm_type, right_drm_type=drm_type
+    )
+    big = small.increase_rank(tensor, 6, 9)
+    # from-scratch at the bigger rank with the same seeds
+    scratch = stream_sketch(
+        tensor,
+        6,
+        9,
+        left_drm=big.left_drm,
+        right_drm=big.right_drm,
+    )
+    for P1, P2 in zip(big.Psi_cores, scratch.Psi_cores):
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-10)
+    for O1, O2 in zip(big.Omega_mats, scratch.Omega_mats):
+        np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=1e-10)
+    # recovery improves or stays exact
+    assert big.to_tt().error(tensor, relative=True) < 1e-8
+
+
+def test_massive_oversample():
+    """Ranks far above mode sizes must still work (trim + lstsq)."""
+    tensor = make_low_rank("tt", shape=(3, 4, 3), rank=2)
+    tt = stream_sketch(tensor, 50, 100, seed=3).to_tt()
+    assert tt.error(tensor, relative=True) < 1e-8
+
+
+def test_assembly_direction_agreement():
+    tensor = make_low_rank("tt")
+    sk = stream_sketch(tensor, 5, 8, seed=13)
+    right = TensorTrain(assemble_sketched_tt(sk.sketch_, "right"))
+    left = TensorTrain(assemble_sketched_tt(sk.sketch_, "left"))
+    np.testing.assert_allclose(
+        np.asarray(right.to_dense()), np.asarray(left.to_dense()), atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("fmt", ["tt", "dense", "sparse", "cp", "tucker", "sum"])
+def test_default_drm(fmt):
+    """Every format is sketchable with no DRM argument."""
+    tensor = make_low_rank(fmt)
+    tt = stream_sketch(tensor, 5, 8, seed=2).to_tt()
+    assert tt.error(tensor, relative=True) < 1e-8
+
+
+def test_sketched_tt_arithmetic():
+    tensor = make_low_rank("tt")
+    sk = stream_sketch(tensor, 5, 8, seed=2)
+    dense = np.asarray(sk.to_dense())
+    np.testing.assert_allclose(
+        np.asarray((sk * 2.0).to_dense()), 2.0 * dense, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray((-sk).to_dense()), -dense, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sk.T.to_dense()),
+        dense.transpose(tuple(range(len(SHAPE))[::-1])),
+        atol=1e-9,
+    )
+
+
+def test_capabilities_matrix():
+    caps = get_drm_capabilities()
+    assert caps["TensorTrainDRM"]["CansketchDense"]
+    assert caps["TensorTrainDRM"]["CanSlice"]
+    assert not caps["TensorTrainDRM"]["CanIncreaseRank"]
+    assert caps["SparseGaussianDRM"]["CanIncreaseRank"]
+    assert caps["SparseSignDRM"]["CanSlice"]
+    assert not caps["SparseSignDRM"]["CanIncreaseRank"]
+    assert caps["DenseGaussianDRM"]["CanIncreaseRank"]
+
+
+def test_tensor_sum_of_mixed_formats():
+    """TT + sparse sum (the tt_plus_sparse benchmark shape)."""
+    tt = TensorTrain.random(SHAPE, 2, seed=0)
+    sp = SparseTensor.random(SHAPE, nnz=10, seed=1) * 1e-3
+    total = tt + sp
+    sk = stream_sketch(total, 8, 14, seed=5)
+    err = sk.to_tt().error(total.dense(), relative=True)
+    assert err < 1e-2
+
+
+def test_orthogonal_rank_validation():
+    tensor = make_low_rank("tt")
+    with pytest.raises(ValueError):
+        orthogonal_sketch(tensor, 8, 5, seed=0)
+    with pytest.raises(ValueError):
+        stream_sketch(tensor, 5, 5, seed=0)

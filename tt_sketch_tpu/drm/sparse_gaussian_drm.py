@@ -1,0 +1,46 @@
+"""Lazy Gaussian DRM: entries generated on demand by the counter-based hash.
+
+Mathematically a dense Gaussian DRM, but only rows at the sparse tensor's
+nnz indices are ever generated — from ``(seed, index, column)`` alone.  This
+is the DRM that makes the distributed story free: every chip regenerates its
+shard's projections from a broadcast integer seed, and rank growth is exact
+because the hash is prefix-stable in the column index.
+
+Parity: reference drm/sparse_gaussian_drm.py (per-μ seed = (μ + seed) mod
+2^63) with the hash pipeline of fast_lazy_gaussian.pyx.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from tt_sketch_tpu.drm.base import CanIncreaseRank, CansketchSparse, handle_transpose
+from tt_sketch_tpu.rng.hash_rng import inds_to_normal
+
+
+class SparseGaussianDRM(CansketchSparse, CanIncreaseRank):
+    def __init__(
+        self,
+        rank: Union[Tuple[int, ...], int],
+        shape: Tuple[int, ...],
+        transpose: bool,
+        seed: Optional[int] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(rank, shape, transpose, seed=seed, **kwargs)
+
+    @handle_transpose
+    def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
+        out = []
+        for mu in range(len(tensor.shape) - 1):
+            mat = inds_to_normal(
+                tensor.indices[: mu + 1],
+                tensor.shape[: mu + 1],
+                self.rank_min[mu],
+                self.rank_max[mu],
+                (mu + self.seed) % (2 ** 63),
+                dtype=self.dtype,
+            )
+            out.append(mat.T)
+        return out

@@ -1,0 +1,47 @@
+"""Sparse-sign DRM: each row has exactly ``nnz_per_row`` hashed ±1 entries.
+
+Parity: reference drm/sparse_sign_drm.py + fast_lazy_gaussian.pyx:121-154.
+Supports ``CanSlice`` (blocked sketch) but not rank increase (the in-row
+permutation is not prefix-stable in rank, same as the reference).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from tt_sketch_tpu.drm.base import CanSlice, CansketchSparse, handle_transpose
+from tt_sketch_tpu.rng.hash_rng import inds_to_sparse_sign
+
+
+class SparseSignDRM(CansketchSparse, CanSlice):
+    def __init__(
+        self,
+        rank: Union[Tuple[int, ...], int],
+        shape: Tuple[int, ...],
+        transpose: bool,
+        seed: Optional[int] = None,
+        num_non_zero_per_row: Optional[Tuple[int, ...]] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(rank, shape, transpose, seed=seed, **kwargs)
+        if num_non_zero_per_row is None:
+            num_non_zero_per_row = self.true_rank
+        self.nnz = num_non_zero_per_row
+
+    @handle_transpose
+    def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
+        out = []
+        for mu in range(len(tensor.shape) - 1):
+            mat = inds_to_sparse_sign(
+                tensor.indices[: mu + 1],
+                tensor.shape[: mu + 1],
+                self.true_rank[mu],
+                self.rank_min[mu],
+                self.rank_max[mu],
+                self.nnz[mu],
+                (mu + self.seed) % (2 ** 63),
+                dtype=self.dtype,
+            )
+            out.append(mat.T)
+        return out

@@ -1,0 +1,150 @@
+"""Tensor-train DRM: sketches with partial contractions of a fixed random TT.
+
+The default DRM for every format (parity: reference drm/tensor_train_drm.py).
+The per-mode chain *step* functions are exported separately because the
+orthogonal/HMT algorithms reuse them with the just-orthogonalized Ψ cores in
+place of random cores (the reference's ``OrthogTTDRM`` trick,
+sketch_dispatch.py:177-193, restructured functionally here).
+
+Chain-state conventions per format (state after absorbing cores 0..mu):
+
+- sparse: ``(nnz, r)`` — rows of the partial contraction at the nnz indices
+- tt:     ``(tensor_rank, r)``
+- cp:     ``(cp_rank, r)``
+- dense:  ``(prod(shape[:mu+1]), r)`` — explicit prefix contraction
+- tucker: ``(prod(tucker_rank[:mu+1]), r)``
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from tt_sketch_tpu.drm.base import (
+    CanSlice,
+    CansketchCP,
+    CansketchDense,
+    CansketchSparse,
+    CansketchTT,
+    CansketchTucker,
+    handle_transpose,
+)
+from tt_sketch_tpu.formats.tensor_train import TensorTrain
+
+
+# -- chain steps (shared with the orthogonal/HMT incremental left sketch) ----
+
+def chain_step_sparse(state, core, indices_mu):
+    """Absorb one TT core at the sparse tensor's μ-th index row."""
+    core_slice = core[:, indices_mu, :]  # (r1, nnz, r2)
+    if state is None:
+        return core_slice[0]  # first core has r1 == 1 -> (nnz, r2)
+    return jnp.einsum("ijk,ji->jk", core_slice, state)
+
+
+def chain_step_tt(state, core, tensor_core):
+    if state is None:
+        return jnp.einsum("ijk,ijl->kl", tensor_core, core)
+    tmp = jnp.einsum("ij,ikl->jkl", state, tensor_core)  # (r_drm, n, r_t2)
+    return jnp.einsum("jkl,jkm->lm", tmp, core)
+
+
+def chain_step_cp(state, core, cp_factor):
+    if state is None:
+        return jnp.einsum("ij,lik->jk", cp_factor, core)
+    return jnp.einsum("ij,ki,jkl->il", state, cp_factor, core)
+
+
+def chain_step_dense(state, core):
+    if state is None:
+        return core.reshape(-1, core.shape[-1])
+    nxt = jnp.einsum("ij,jkl->ikl", state, core)
+    return nxt.reshape(-1, nxt.shape[-1])
+
+
+def chain_step_tucker(state, core, tucker_factor):
+    reduced = jnp.einsum("jkl,km->jml", core, tucker_factor.T)
+    if state is None:
+        return reduced.reshape(-1, reduced.shape[-1])
+    nxt = jnp.einsum("ij,jml->iml", state, reduced)
+    return nxt.reshape(-1, nxt.shape[-1])
+
+
+class TensorTrainDRM(
+    CansketchSparse,
+    CansketchTT,
+    CansketchCP,
+    CansketchDense,
+    CansketchTucker,
+    CanSlice,
+):
+    """DRM whose μ-th sketching matrix is the prefix contraction of a fixed
+    norm-preserving random TT (last core dropped)."""
+
+    cores: List[jnp.ndarray]
+
+    def __init__(
+        self,
+        rank: Union[Tuple[int, ...], int],
+        shape: Tuple[int, ...],
+        transpose: bool,
+        seed: Optional[int] = None,
+        cores: Optional[List[jnp.ndarray]] = None,
+        **kwargs,
+    ) -> None:
+        super().__init__(rank, shape, transpose, seed=seed, **kwargs)
+        if cores is not None:
+            self.cores = cores
+        else:
+            tt_shape = self.shape[::-1] if transpose else self.shape
+            tt = TensorTrain.random(
+                tt_shape,
+                self.true_rank,
+                self.seed,
+                norm_goal="norm-preserve",
+                dtype=self.dtype,
+            )
+            self.cores = tt.cores[:-1]
+
+    def _slice(self, mat, mu: int):
+        return mat[:, self.rank_min[mu]: self.rank_max[mu]]
+
+    @handle_transpose
+    def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
+        out, state = [], None
+        for mu, core in enumerate(self.cores):
+            state = chain_step_sparse(state, core, tensor.indices[mu])
+            out.append(self._slice(state, mu).T)
+        return out
+
+    @handle_transpose
+    def sketch_tt(self, tensor) -> List[jnp.ndarray]:
+        out, state = [], None
+        for mu, core in enumerate(self.cores):
+            state = chain_step_tt(state, core, tensor.cores[mu])
+            out.append(self._slice(state, mu))
+        return out
+
+    @handle_transpose
+    def sketch_cp(self, tensor) -> List[jnp.ndarray]:
+        out, state = [], None
+        for mu, core in enumerate(self.cores):
+            state = chain_step_cp(state, core, tensor.cores[mu])
+            out.append(self._slice(state, mu))
+        return out
+
+    @handle_transpose
+    def sketch_dense(self, tensor) -> List[jnp.ndarray]:
+        out, state = [], None
+        for mu, core in enumerate(self.cores):
+            state = chain_step_dense(state, core)
+            out.append(self._slice(state, mu).T)
+        return out
+
+    @handle_transpose
+    def sketch_tucker(self, tensor) -> List[jnp.ndarray]:
+        out, state = [], None
+        for mu, core in enumerate(self.cores):
+            state = chain_step_tucker(state, core, tensor.factors[mu])
+            out.append(self._slice(state, mu))
+        return out

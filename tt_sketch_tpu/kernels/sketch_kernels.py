@@ -1,0 +1,150 @@
+"""Ψ/Ω sketch contraction kernels per tensor format.
+
+Ω_μ = Y_μᵀ X^{<μ>} Z_μ (small matrix) and Ψ_μ = Y_{μ-1}ᵀ X^{(μ)} Z_μ
+(order-3 core), computed from the DRMs' per-mode contraction outputs.
+
+Parity targets: reference ``sketching_methods/*.py``.  TPU-relevant change:
+the sparse Ψ kernel replaces the reference's Python loop over the mode size
+(sparse_sketch.py:49-69) with one batched outer-product + ``segment_sum``
+over the mode indices, chunked over nnz to bound memory.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tt_sketch_tpu.utils import matricize
+
+# nnz chunk bound for the (chunk, r1, r2) outer-product intermediate.
+_SPARSE_PSI_CHUNK = 1 << 16
+
+
+# -- dense -------------------------------------------------------------------
+
+def sketch_omega_dense(left_sketch, right_sketch, *, tensor, mu, **kwargs):
+    X_mat = matricize(tensor.data, tuple(range(mu + 1)), mat_shape=True)
+    return left_sketch @ X_mat @ right_sketch.T
+
+
+def sketch_psi_dense(left_sketch, right_sketch, *, tensor, mu, **kwargs):
+    ndim = tensor.ndim
+    data = tensor.data
+    if left_sketch is None:
+        mat = matricize(data, 0, mat_shape=True)
+        Psi = mat @ right_sketch.T
+        return Psi[None, :, :]
+    if right_sketch is None:
+        mat = matricize(data, ndim - 1, mat_shape=True).T
+        Psi = left_sketch @ mat
+        return Psi[:, :, None]
+    ord3 = matricize(data, tuple(range(mu + 1)), mat_shape=False)
+    left_dim = 1
+    for s in ord3.shape[:mu]:
+        left_dim *= s
+    ord3 = ord3.reshape(left_dim, ord3.shape[mu], ord3.shape[mu + 1])
+    tmp = jnp.einsum("ij,jkl->ikl", left_sketch, ord3)
+    return jnp.einsum("ikl,ml->ikm", tmp, right_sketch)
+
+
+# -- sparse ------------------------------------------------------------------
+
+def sketch_omega_sparse(left_sketch, right_sketch, *, tensor, **kwargs):
+    return (left_sketch * tensor.entries) @ right_sketch.T
+
+
+def _psi_sparse_segment(left, right, entries, indices_mu, n_mu):
+    """Σ_k  e_{ind[k]} ⊗ (left[:,k]·entries[k]) ⊗ right[:,k] via segment_sum,
+    chunked over nnz."""
+    nnz = entries.shape[0]
+    r1 = left.shape[0] if left is not None else 1
+    r2 = right.shape[0] if right is not None else 1
+
+    def chunk_psi(lo, hi):
+        ent = entries[lo:hi]
+        idx = indices_mu[lo:hi]
+        if left is None:
+            weighted = ent[None, :]  # (1, chunk)
+        else:
+            weighted = left[:, lo:hi] * ent
+        if right is None:
+            outer = weighted.T[:, :, None]  # (chunk, r1, 1)
+        else:
+            outer = weighted.T[:, :, None] * right[:, lo:hi].T[:, None, :]
+        seg = jax.ops.segment_sum(outer, idx, num_segments=n_mu)
+        return seg.transpose(1, 0, 2)  # (r1, n_mu, r2)
+
+    psi = jnp.zeros((r1, n_mu, r2), dtype=entries.dtype)
+    for lo in range(0, max(nnz, 1), _SPARSE_PSI_CHUNK):
+        hi = min(lo + _SPARSE_PSI_CHUNK, nnz)
+        if lo >= hi:
+            break
+        psi = psi + chunk_psi(lo, hi)
+    return psi
+
+
+def sketch_psi_sparse(
+    left_sketch, right_sketch, *, tensor, mu, psi_shape, **kwargs
+):
+    return _psi_sparse_segment(
+        left_sketch,
+        right_sketch,
+        tensor.entries,
+        tensor.indices[mu],
+        psi_shape[1],
+    )
+
+
+# -- tensor train ------------------------------------------------------------
+
+def sketch_omega_tt(left_sketch, right_sketch, **kwargs):
+    return left_sketch.T @ right_sketch
+
+
+def sketch_psi_tt(left_sketch, right_sketch, *, tensor, mu, **kwargs):
+    core = tensor.cores[mu]
+    if left_sketch is None:
+        return jnp.einsum("ijk,kl->ijl", core, right_sketch)
+    if right_sketch is None:
+        return jnp.einsum("ij,jkl->ikl", left_sketch.T, core)
+    tmp = jnp.einsum("ij,jkl->ikl", left_sketch.T, core)
+    return jnp.einsum("ikl,lm->ikm", tmp, right_sketch)
+
+
+# -- CP ----------------------------------------------------------------------
+
+def sketch_omega_cp(left_sketch, right_sketch, **kwargs):
+    return left_sketch.T @ right_sketch
+
+
+def sketch_psi_cp(left_sketch, right_sketch, *, tensor, mu, **kwargs):
+    factor = tensor.cores[mu]  # (n_mu, cp_rank)
+    if left_sketch is None:
+        return jnp.einsum("ji,il->jl", factor, right_sketch)[None, :, :]
+    if right_sketch is None:
+        return jnp.einsum("il,kl->ik", left_sketch.T, factor)[:, :, None]
+    # Ψ[i,k,m] = Σ_j L[j,i] · factor[k,j] · R[j,m]
+    tmp = left_sketch.T[:, None, :] * factor[None, :, :]  # (i, k, j)
+    return jnp.einsum("ikj,jm->ikm", tmp, right_sketch)
+
+
+# -- Tucker ------------------------------------------------------------------
+
+def sketch_omega_tucker(left_sketch, right_sketch, *, tensor, mu, **kwargs):
+    core_mat = matricize(tensor.core, tuple(range(mu + 1)), mat_shape=True)
+    return left_sketch.T @ core_mat @ right_sketch
+
+
+def sketch_psi_tucker(left_sketch, right_sketch, *, tensor, mu, **kwargs):
+    left_dim = left_sketch.shape[0] if left_sketch is not None else 1
+    right_dim = right_sketch.shape[0] if right_sketch is not None else 1
+    ord3 = tensor.core.reshape(left_dim, tensor.rank[mu], right_dim)
+    if left_sketch is None:
+        Psi = jnp.einsum("ijk,kl->ijl", ord3, right_sketch)
+    elif right_sketch is None:
+        Psi = jnp.einsum("ij,jkl->ikl", left_sketch.T, ord3)
+    else:
+        tmp = jnp.einsum("ij,jkl->ikl", left_sketch.T, ord3)
+        Psi = jnp.einsum("ikl,lm->ikm", tmp, right_sketch)
+    return jnp.einsum("ijk,jl->ilk", Psi, tensor.factors[mu])
