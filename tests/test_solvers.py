@@ -1,0 +1,105 @@
+"""Solver tests: TT-SVD, MPO algebra, rounding modes, TT-GMRES convergence.
+
+Extends the reference's thin solver coverage (its GMRES tests are commented
+out; only MPO-vs-dense is tested, tests/test_tt_gmres.py:12-29) with real
+convergence checks on the synthetic cookie problem.
+"""
+import numpy as np
+import pytest
+
+from tt_sketch_tpu.formats import DenseTensor, TensorSum, TensorTrain
+from tt_sketch_tpu.solvers import (
+    MPO,
+    TTLinearMapSum,
+    TTPrecond,
+    prepare_synthetic_cookie_problem,
+    round_tt_sum,
+    tt_svd,
+    tt_sum_gmres,
+)
+from tt_sketch_tpu.utils import hilbert_tensor
+
+
+def test_tt_svd_exact():
+    tt = TensorTrain.random((4, 5, 6), rank=3, seed=0)
+    dense = DenseTensor(tt.to_dense())
+    out = tt_svd(dense, rank=3)
+    assert out.error(dense, relative=True) < 1e-10
+
+
+def test_tt_svd_hilbert():
+    X = DenseTensor(hilbert_tensor(5, 4))
+    # rank 5 truncates: small but nonzero error; full rank 8 is exact
+    assert tt_svd(X, rank=5).error(X, relative=True) < 1e-4
+    assert tt_svd(X, rank=8).error(X, relative=True) < 1e-12
+
+
+def test_mpo_vs_dense():
+    """MPO application equals dense matrix-vector product."""
+    in_shape, out_shape = (3, 4, 5), (3, 4, 5)
+    mpo = MPO.random(2, in_shape, out_shape, seed=0)
+    x = TensorTrain.random(in_shape, rank=2, seed=1)
+    y = mpo(x)
+    dense_op = np.asarray(mpo.to_dense())  # (i0, o0, i1, o1, i2, o2)
+    # contract input legs
+    expected = np.einsum(
+        "aibjck,abc->ijk", dense_op, np.asarray(x.to_dense())
+    )
+    np.testing.assert_allclose(np.asarray(y.to_dense()), expected, atol=1e-10)
+
+
+def test_mpo_eye():
+    shape = (3, 4, 2)
+    x = TensorTrain.random(shape, rank=2, seed=0)
+    y = MPO.eye(shape)(x)
+    np.testing.assert_allclose(
+        np.asarray(y.to_dense()), np.asarray(x.to_dense()), atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("method", ["exact", "pairwise", "sketch", "orth_sketch"])
+def test_round_tt_sum(method):
+    shape = (4, 5, 6)
+    tts = [TensorTrain.random(shape, 2, seed=i) * (0.3 ** i) for i in range(4)]
+    total = TensorSum(tts)
+    rounded = round_tt_sum(total, max_rank=8, method=method, seed=7)
+    assert all(r <= 8 for r in rounded.rank)
+    err = rounded.error(total.dense(), relative=True)
+    assert err < 1e-6, f"{method}: {err}"
+
+
+@pytest.mark.parametrize("rounding", ["pairwise", "sketch"])
+def test_gmres_cookie(rounding):
+    A, b, precond = prepare_synthetic_cookie_problem(
+        num_coeffs=4, num_cookies=2, n=20, seed=0
+    )
+    x, history = tt_sum_gmres(
+        A,
+        b,
+        max_rank=10,
+        precond=precond,
+        tolerance=1e-6,
+        maxiter=20,
+        rounding_method=rounding,
+    )
+    # internal (preconditioned-system) residual drops by >20x
+    assert history["residual_norm"][-1] < 2e-2
+    assert history["residual_norm"][-1] < history["residual_norm"][0] / 20
+    # true residual of the preconditioned system is bounded (rank-capped
+    # rounding limits the floor; same behavior as the reference)
+    b_pr = precond(b)
+    Ax_pr = TensorSum([precond(t) for t in A(x).tensors])
+    res = (b_pr + Ax_pr * (-1.0)).dense().norm() / b_pr.dense().norm()
+    assert res < 0.3
+    assert "step_time" in history and len(history["step_time"]) >= 2
+
+
+def test_gmres_identity():
+    """GMRES on the identity solves in one iteration."""
+    shape = (3, 4, 3)
+    A = TTLinearMapSum([MPO.eye(shape)])
+    b = TensorTrain.random(shape, rank=2, seed=0)
+    x, history = tt_sum_gmres(
+        A, b, max_rank=6, tolerance=1e-10, maxiter=5, rounding_method="exact"
+    )
+    assert x.error(b, relative=True) < 1e-8

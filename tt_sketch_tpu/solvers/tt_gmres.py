@@ -1,0 +1,364 @@
+"""TT-GMRES with sketched rounding (parity: reference tt_gmres.py).
+
+GMRES in the TT format per Dolgov arXiv:1206.5512, where the rank-explosion
+of ``A @ x`` is tamed by rounding each Arnoldi vector — either classically
+(TT-SVD on the accumulated sum) or with the *streaming sketch* ("sketch"
+mode), which is what makes the solver fast: ``round_tt_sum`` on a sum of k
+TTs is one linear pass instead of k pairwise SVD rounds.
+"""
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from collections import defaultdict
+from math import ceil
+from time import perf_counter
+from typing import Any, Dict, List, Literal, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from tt_sketch_tpu.engine.sketch import orthogonal_sketch, stream_sketch
+from tt_sketch_tpu.formats.base import Tensor
+from tt_sketch_tpu.formats.tensor_sum import TensorSum
+from tt_sketch_tpu.formats.tensor_train import TensorTrain
+from tt_sketch_tpu.utils import (
+    TTRank,
+    dematricize,
+    matricize,
+    process_tt_rank,
+    random_normal,
+)
+
+
+class TTLinearMap(ABC):
+    """Abstract linear map acting on tensor trains."""
+
+    in_shape: Tuple[int, ...]
+    out_shape: Tuple[int, ...]
+
+    @abstractmethod
+    def __call__(self, other: TensorTrain) -> TensorTrain:
+        ...
+
+
+class MPO(Tensor, TTLinearMap):
+    """Matrix-product operator: order-4 cores
+    ``(rank[mu-1], in_shape[mu], out_shape[mu], rank[mu])`` used as a TT
+    linear map (application multiplies TT ranks)."""
+
+    def __init__(self, cores) -> None:
+        self.cores = [jnp.asarray(C) for C in cores]
+        self.in_shape = tuple(int(C.shape[1]) for C in self.cores)
+        self.out_shape = tuple(int(C.shape[2]) for C in self.cores)
+        self.rank = tuple(int(C.shape[0]) for C in self.cores[1:])
+        self.shape = tuple(
+            s1 * s2 for s1, s2 in zip(self.in_shape, self.out_shape)
+        )
+
+    @property
+    def size(self) -> int:
+        return sum(int(np.prod(C.shape)) for C in self.cores)
+
+    @property
+    def T(self) -> "MPO":
+        """Transpose as a linear map (swap in/out physical legs)."""
+        return MPO([jnp.transpose(C, (0, 2, 1, 3)) for C in self.cores])
+
+    def to_tt(self) -> TensorTrain:
+        return TensorTrain(
+            [
+                C.reshape(C.shape[0], C.shape[1] * C.shape[2], C.shape[3])
+                for C in self.cores
+            ]
+        )
+
+    def to_dense(self) -> jnp.ndarray:
+        """Dense array of shape (in₀, out₀, ..., in_{d-1}, out_{d-1})."""
+        res = self.cores[0]
+        res = res.reshape(res.shape[1:])
+        for C in self.cores[1:]:
+            res = jnp.einsum("...i,ijkl->...jkl", res, C)
+        return res.reshape(res.shape[:-1])
+
+    def __call__(self, other: TensorTrain) -> TensorTrain:
+        new_cores = []
+        for M, C in zip(self.cores, other.cores):
+            MC = jnp.einsum("ijkl,ajb->iaklb", M, C)
+            new_cores.append(
+                MC.reshape(
+                    MC.shape[0] * MC.shape[1],
+                    MC.shape[2],
+                    MC.shape[3] * MC.shape[4],
+                )
+            )
+        return TensorTrain(new_cores)
+
+    def __mul__(self, other: float) -> "MPO":
+        new_cores = list(self.cores)
+        new_cores[0] = new_cores[0] * other
+        return MPO(new_cores)
+
+    @classmethod
+    def random(
+        cls,
+        rank: TTRank,
+        in_shape: Tuple[int, ...],
+        out_shape: Tuple[int, ...],
+        seed: Optional[int] = None,
+        dtype=None,
+    ) -> "MPO":
+        """Random symmetric-ish MPO, core norms ~ sqrt(s1*s2)."""
+        prod_shape = tuple(s1 * s2 for s1, s2 in zip(in_shape, out_shape))
+        rank = process_tt_rank(rank, prod_shape, trim=True)
+        seeds = np.random.SeedSequence(seed).generate_state(len(in_shape))
+        cores = []
+        for r1, s1, s2, r2, s in zip(
+            (1,) + rank, in_shape, out_shape, rank + (1,), seeds
+        ):
+            C = random_normal((r1, s1, s2, r2), seed=int(s), dtype=dtype)
+            C = C + jnp.transpose(C, (0, 2, 1, 3)).reshape(C.shape)
+            C = C * np.sqrt(s1 * s2) / jnp.linalg.norm(C)
+            cores.append(C)
+        return cls(cores)
+
+    @classmethod
+    def eye(cls, shape: Tuple[int, ...], dtype=None) -> "MPO":
+        from tt_sketch_tpu.config import DEFAULT_DTYPE
+
+        dtype = dtype or DEFAULT_DTYPE
+        return cls([jnp.eye(s, dtype=dtype)[None, :, :, None] for s in shape])
+
+
+class TTPrecond(TTLinearMap):
+    """Mode-wise preconditioner: multiply one mode by ``A⁻¹`` via a cached
+    QR factorization (parity: reference tt_gmres.py:137-168)."""
+
+    def __init__(self, A, shape: Tuple[int, ...], mode: int = 0) -> None:
+        self.A = jnp.asarray(A)
+        self.Q, self.R = jnp.linalg.qr(self.A)
+        self.mode = mode
+        self.in_shape = tuple(shape)
+        self.out_shape = tuple(shape)
+
+    def backward_call(self, other: TensorTrain) -> TensorTrain:
+        import jax.scipy.linalg as jsl
+
+        new_cores = list(other.cores)
+        C = new_cores[self.mode]
+        C_mat = matricize(C, mode=1, mat_shape=True)
+        sol = jsl.solve_triangular(self.R, self.Q.T @ C_mat)
+        new_cores[self.mode] = dematricize(sol, mode=1, shape=C.shape)
+        return TensorTrain(new_cores)
+
+    def forward_call(self, other: TensorTrain) -> TensorTrain:
+        new_cores = list(other.cores)
+        C = new_cores[self.mode]
+        C_mat = matricize(C, mode=1, mat_shape=True)
+        new_cores[self.mode] = dematricize(self.A @ C_mat, mode=1, shape=C.shape)
+        return TensorTrain(new_cores)
+
+    __call__ = backward_call
+
+
+class TTLinearMapSum:
+    """A sum of TT linear maps: eats a TT (or sum of TTs), returns the
+    TensorSum of every map applied to every summand."""
+
+    def __init__(self, linear_maps: List[TTLinearMap]) -> None:
+        if len(linear_maps) == 0:
+            raise ValueError("linear_maps cannot be empty")
+        self.linear_maps = list(linear_maps)
+        self.in_shape = linear_maps[0].in_shape
+        self.out_shape = linear_maps[0].out_shape
+        for lm in linear_maps[1:]:
+            if lm.in_shape != self.in_shape:
+                raise ValueError("in_shape mismatch")
+            if lm.out_shape != self.out_shape:
+                raise ValueError("out_shape mismatch")
+
+    def __call__(
+        self, input_tensor: Union[TensorTrain, TensorSum]
+    ) -> TensorSum:
+        tensor_list = (
+            [input_tensor]
+            if isinstance(input_tensor, TensorTrain)
+            else input_tensor.tensors
+        )
+        out = [lm(t) for lm in self.linear_maps for t in tensor_list]
+        return TensorSum(out)
+
+
+ROUNDING_MODE = Literal["exact", "pairwise", "sketch", "orth_sketch", None]
+
+
+def round_tt_sum(
+    tt_sum: TensorSum,
+    max_rank: TTRank,
+    eps: Optional[float] = None,
+    method: ROUNDING_MODE = "sketch",
+    oversample_factor: float = 2,
+    seed: Optional[int] = None,
+) -> TensorTrain:
+    """Round a sum of TTs to ``max_rank``.
+
+    - ``exact``: direct-sum everything then one TT-SVD round.
+    - ``pairwise``: fold in each summand with a round after each add.
+    - ``sketch``: one streaming sketch of the whole sum (the fast path).
+    - ``orth_sketch``: orthogonal sketch of the sum.
+    - ``None``: no rounding.
+    """
+    if isinstance(tt_sum, TensorTrain):
+        tt_sum = TensorSum([tt_sum])
+    if method == "exact":
+        tt = tt_sum.tensors[0]
+        for t in tt_sum.tensors[1:]:
+            tt = tt.add(t)
+        return tt.round(eps, max_rank)
+    if method == "pairwise":
+        tt = tt_sum.tensors[0]
+        for t in tt_sum.tensors[1:]:
+            tt = tt.add(t).round(eps=eps, max_rank=max_rank)
+        return tt
+    if method == "sketch":
+        left_rank = process_tt_rank(max_rank, tt_sum.shape, trim=True)
+        right_rank = tuple(ceil(r * oversample_factor) for r in left_rank)
+        return stream_sketch(
+            tt_sum, left_rank=left_rank, right_rank=right_rank, seed=seed
+        ).to_tt()
+    if method == "orth_sketch":
+        left_rank = process_tt_rank(max_rank, tt_sum.shape, trim=True)
+        right_rank = tuple(ceil(r * oversample_factor) for r in left_rank)
+        return orthogonal_sketch(
+            tt_sum, left_rank=left_rank, right_rank=right_rank, seed=seed
+        )
+    if method is None:
+        return tt_sum  # type: ignore[return-value]
+    raise ValueError(f"Unknown rounding method: {method}")
+
+
+def tt_sum_gmres(
+    A: TTLinearMapSum,
+    b: TensorTrain,
+    max_rank: TTRank,
+    precond: Optional[TTPrecond] = None,
+    final_round_rank: Optional[TTRank] = None,
+    x0: Optional[TensorTrain] = None,
+    tolerance: float = 1e-6,
+    maxiter: int = 100,
+    symmetric: bool = False,
+    rounding_method: ROUNDING_MODE = "pairwise",
+    rounding_method_final: Optional[ROUNDING_MODE] = None,
+    save_basis: bool = False,
+    verbose: bool = False,
+) -> Tuple[TensorTrain, Dict[str, Any]]:
+    """GMRES for a ``TTLinearMapSum`` with per-iteration rounding.
+
+    Returns ``(solution, history)`` where history records residual norms,
+    ranks, per-step wall times and rounding tolerances (the observability
+    contract of the reference, tt_gmres.py:366-431).
+    """
+    if final_round_rank is None:
+        final_round_rank = max_rank
+    if rounding_method_final is None:
+        rounding_method_final = rounding_method
+    if A.out_shape != tuple(b.shape):
+        raise ValueError("Output shape of linear map doesn't match RHS")
+    if x0 is not None and tuple(x0.shape) != A.in_shape:
+        raise ValueError("Input shape of linear map doesn't match x0")
+    if A.out_shape != A.in_shape:
+        raise ValueError("TT-GMRES only works for automorphisms")
+
+    max_rank = process_tt_rank(max_rank, A.in_shape, trim=True)
+    if x0 is None:
+        x0 = TensorTrain.zero(shape=A.in_shape, rank=1)
+
+    def apply_A_pr(x: TensorTrain) -> TensorSum:
+        res = A(x)
+        if precond is not None:
+            res = TensorSum([precond(r) for r in res.tensors])
+        return res
+
+    b_pr = precond(b) if precond is not None else b
+
+    b_norm = b.norm()
+    initial_time = perf_counter()
+    residual = b_pr - apply_A_pr(x0)
+    residual_rounded = round_tt_sum(
+        residual, max_rank=max_rank, method=rounding_method
+    )
+    residual_norm = residual_rounded.norm()
+    beta = residual_norm
+    nu_list: List[TensorTrain] = [residual_rounded / beta]
+    H_matrix = np.zeros((maxiter + 1, maxiter))
+
+    history: Dict[str, Any] = defaultdict(list)
+    history["w_norm"].append(nu_list[-1].norm())
+    history["rank"].append(residual_rounded.rank)
+    history["residual_norm"].append(residual_norm / b_norm)
+    history["step_time"].append(perf_counter() - initial_time)
+
+    y = np.zeros(0)
+    j = -1
+    for j in range(maxiter):
+        current_time = perf_counter()
+        delta = tolerance / (residual_norm / beta)
+        if verbose:
+            logging.info(
+                "Iteration %d/%d, residual norm: %.4e",
+                j + 1,
+                maxiter,
+                residual_norm / b_norm,
+            )
+        w_sum = apply_A_pr(nu_list[-1])
+        w_rounded = round_tt_sum(
+            w_sum, eps=delta, max_rank=max_rank, method=rounding_method
+        )
+
+        min_j = max(0, j - 2) if symmetric else 0
+        for i in range(min_j, j + 1):
+            H_matrix[i, j] = w_rounded.dot(nu_list[i])
+
+        # Gram–Schmidt in TT arithmetic, then re-round
+        w_sum = (
+            w_rounded
+            - TensorSum(nu_list[min_j: j + 1]) * H_matrix[min_j: j + 1, j]
+        )
+        w_rounded = round_tt_sum(
+            w_sum, eps=delta, max_rank=max_rank, method=rounding_method
+        )
+        H_matrix[j + 1, j] = w_rounded.norm()
+        nu_list.append(w_rounded / H_matrix[j + 1, j])
+        history["step_time"].append(perf_counter() - current_time)
+
+        H_red = H_matrix[: j + 2, : j + 1]
+        e1 = np.zeros(j + 2)
+        e1[0] = beta
+        y, res_sq, _, _ = np.linalg.lstsq(H_red, e1, rcond=None)
+        residual_norm = float(np.sqrt(res_sq[0])) if len(res_sq) else 0.0
+        history["step_time_with_res_norm"].append(perf_counter() - current_time)
+        history["residual_norm"].append(residual_norm / b_norm)
+        history["rank"].append(w_rounded.rank)
+        history["w_norm"].append(H_matrix[j + 1, j])
+        history["delta"].append(delta)
+
+        if residual_norm / b_norm < tolerance:
+            break
+
+    y = y[: j + 1]
+    nu_list = nu_list[: j + 1]
+    current_time = perf_counter()
+    result = x0 + TensorSum(nu_list) * y
+    result_rounded = round_tt_sum(
+        result,
+        eps=None,
+        max_rank=final_round_rank,
+        method=rounding_method_final,
+    )
+    history["final_round_time"] = perf_counter() - current_time
+    history["total_time"] = perf_counter() - initial_time
+    if save_basis:
+        history["H_matrix"] = H_matrix
+        history["nu_list"] = nu_list
+        history["y"] = y
+    return result_rounded, history
