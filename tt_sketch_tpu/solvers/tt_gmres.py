@@ -251,12 +251,14 @@ def tt_sum_gmres(
     rounding_method_final: Optional[ROUNDING_MODE] = None,
     save_basis: bool = False,
     verbose: bool = False,
+    seed: Optional[int] = None,
 ) -> Tuple[TensorTrain, Dict[str, Any]]:
     """GMRES for a ``TTLinearMapSum`` with per-iteration rounding.
 
     Returns ``(solution, history)`` where history records residual norms,
     ranks, per-step wall times and rounding tolerances (the observability
-    contract of the reference, tt_gmres.py:366-431).
+    contract of the reference, tt_gmres.py:366-431).  ``seed`` makes the
+    sketched rounding deterministic (one derived seed per rounding call).
     """
     if final_round_rank is None:
         final_round_rank = max_rank
@@ -273,6 +275,13 @@ def tt_sum_gmres(
     if x0 is None:
         x0 = TensorTrain.zero(shape=A.in_shape, rank=1)
 
+    _round_counter = [0]
+
+    def _round(tt_sum, **kw):
+        _round_counter[0] += 1
+        kw_seed = None if seed is None else seed + _round_counter[0]
+        return round_tt_sum(tt_sum, seed=kw_seed, **kw)
+
     def apply_A_pr(x: TensorTrain) -> TensorSum:
         res = A(x)
         if precond is not None:
@@ -284,7 +293,7 @@ def tt_sum_gmres(
     b_norm = b.norm()
     initial_time = perf_counter()
     residual = b_pr - apply_A_pr(x0)
-    residual_rounded = round_tt_sum(
+    residual_rounded = _round(
         residual, max_rank=max_rank, method=rounding_method
     )
     residual_norm = residual_rounded.norm()
@@ -311,7 +320,7 @@ def tt_sum_gmres(
                 residual_norm / b_norm,
             )
         w_sum = apply_A_pr(nu_list[-1])
-        w_rounded = round_tt_sum(
+        w_rounded = _round(
             w_sum, eps=delta, max_rank=max_rank, method=rounding_method
         )
 
@@ -324,7 +333,7 @@ def tt_sum_gmres(
             w_rounded
             - TensorSum(nu_list[min_j: j + 1]) * H_matrix[min_j: j + 1, j]
         )
-        w_rounded = round_tt_sum(
+        w_rounded = _round(
             w_sum, eps=delta, max_rank=max_rank, method=rounding_method
         )
         H_matrix[j + 1, j] = w_rounded.norm()
@@ -349,7 +358,7 @@ def tt_sum_gmres(
     nu_list = nu_list[: j + 1]
     current_time = perf_counter()
     result = x0 + TensorSum(nu_list) * y
-    result_rounded = round_tt_sum(
+    result_rounded = _round(
         result,
         eps=None,
         max_rank=final_round_rank,
