@@ -1,0 +1,125 @@
+"""Multi-device sharding tests on the virtual CPU mesh.
+
+The invariant (SURVEY.md §4): shard → sketch → psum must equal the
+single-chip sketch up to float summation order.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tt_sketch_tpu.dist import (
+    sharded_sparse_stream_sketch,
+    sharded_tt_sum_stream_sketch,
+)
+from tt_sketch_tpu.drm import SparseGaussianDRM, TensorTrainDRM
+from tt_sketch_tpu.engine.sketch import stream_sketch
+from tt_sketch_tpu.formats import SparseTensor, TensorSum, TensorTrain
+
+SHAPE = (5, 6, 7, 4)
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices"
+)
+
+
+def _single_chip_reference(tensor, left_rank, right_rank, seed):
+    return stream_sketch(
+        tensor,
+        left_rank,
+        right_rank,
+        seed=seed,
+        left_drm_type=SparseGaussianDRM,
+        right_drm_type=SparseGaussianDRM,
+    )
+
+
+def _assert_containers_close(a, b, atol=1e-10):
+    for P1, P2 in zip(a.Psi_cores, b.Psi_cores):
+        np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=atol)
+    for O1, O2 in zip(a.Omega_mats, b.Omega_mats):
+        np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=atol)
+
+
+@needs_8
+@pytest.mark.parametrize(
+    "mesh_shape,axes",
+    [
+        ((8,), ("data", None, None)),
+        ((2, 2, 2), ("data", "left", "right")),
+        ((1, 4, 2), ("data", "left", "right")),
+    ],
+)
+def test_sharded_sparse_matches_single_chip(mesh_shape, axes):
+    data_axis, left_axis, right_axis = axes
+    names = tuple(
+        n for n, a in zip(("data", "left", "right"), axes) if a is not None
+    )[: len(mesh_shape)]
+    devices = np.array(jax.devices()[:8]).reshape(mesh_shape)
+    mesh = Mesh(devices, names)
+
+    X = SparseTensor.random(SHAPE, nnz=77, seed=0)
+    # ranks divisible by rank-axis sizes
+    left_rank, right_rank = (4, 4, 4), (8, 8, 8)
+    ref = _single_chip_reference(X, left_rank, right_rank, seed=99)
+    sharded = sharded_sparse_stream_sketch(
+        X,
+        left_rank,
+        right_rank,
+        seed=99,
+        mesh=mesh,
+        data_axis=data_axis if "data" in names else None,
+        left_rank_axis=left_axis if "left" in names else None,
+        right_rank_axis=right_axis if "right" in names else None,
+    )
+    _assert_containers_close(ref.sketch_, sharded.sketch_)
+    # and the recovered TT agrees
+    np.testing.assert_allclose(
+        np.asarray(ref.to_dense()), np.asarray(sharded.to_dense()), atol=1e-8
+    )
+
+
+@needs_8
+def test_sharded_tt_sum_matches_single_chip():
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+
+    n_sum, rank = 6, 2
+    tts = [TensorTrain.random(SHAPE, rank, seed=i) for i in range(n_sum)]
+    stacked = [
+        jnp.stack([t.cores[mu] for t in tts]) for mu in range(len(SHAPE))
+    ]
+    seed = 7
+    sharded = sharded_tt_sum_stream_sketch(
+        stacked, SHAPE, (5, 5, 5), (9, 9, 9), seed=seed, mesh=mesh
+    )
+    ref = stream_sketch(
+        TensorSum(tts),
+        (5, 5, 5),
+        (9, 9, 9),
+        seed=seed,
+        left_drm_type=TensorTrainDRM,
+        right_drm_type=TensorTrainDRM,
+    )
+    _assert_containers_close(ref.sketch_, sharded.sketch_)
+    # exact recovery: sum of rank-2 TTs has rank ≤ 12 but sketch rank 5
+    # suffices only for error comparison vs dense
+    dense = TensorSum(tts).dense()
+    assert abs(
+        sharded.to_tt().error(dense, relative=True)
+        - ref.to_tt().error(dense, relative=True)
+    ) < 1e-8
+
+
+@needs_8
+def test_sharded_sparse_scaling_invariance_of_padding():
+    """nnz not divisible by the data axis: zero-padding must be exact."""
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    X = SparseTensor.random(SHAPE, nnz=53, seed=3)  # 53 % 8 != 0
+    ref = _single_chip_reference(X, (4, 4, 4), (8, 8, 8), seed=5)
+    sharded = sharded_sparse_stream_sketch(
+        X, (4, 4, 4), (8, 8, 8), seed=5, mesh=mesh, data_axis="data"
+    )
+    _assert_containers_close(ref.sketch_, sharded.sketch_)

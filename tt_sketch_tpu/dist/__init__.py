@@ -1,0 +1,6 @@
+from tt_sketch_tpu import config as _config  # noqa: F401  (enables x64)
+
+from tt_sketch_tpu.dist.sharded import (  # noqa: F401
+    sharded_sparse_stream_sketch,
+    sharded_tt_sum_stream_sketch,
+)

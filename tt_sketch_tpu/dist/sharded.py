@@ -1,0 +1,284 @@
+"""Multi-chip sharded sketching over a ``jax.sharding.Mesh``.
+
+The scaling axes map the reference's algebraic hooks onto the mesh
+(SURVEY.md §2.3):
+
+- **data axis** (DP analog): nnz entries of a sparse tensor, or summands of
+  a TT-sum, are sharded; each device sketches its shard independently and
+  partial ``(Ψ, Ω)`` containers are combined with one ``psum`` over ICI —
+  exact, because the sketch map is linear in the tensor.
+- **rank axes** (TP analog): the left/right DRM rank dimensions are block-
+  partitioned; each device computes its rank-block of every Ψ/Ω (the
+  ``blocked_stream_sketch`` decomposition) and blocks are placed at their
+  offsets and psum-assembled.  The counter-based RNG generates exactly the
+  needed columns per device from the broadcast seed
+  (``inds_to_normal_block`` with a traced start), so no DRM is ever
+  communicated.
+
+Everything runs under ``shard_map`` with XLA collectives; DCN would only
+carry the seed and the final small containers in a multi-host setting
+(``jax.distributed.initialize`` composes transparently with the mesh).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+from tt_sketch_tpu.drm.tensor_train_drm import TensorTrainDRM
+from tt_sketch_tpu.engine.sketch import SketchedTensorTrain, _derive_right_seed
+from tt_sketch_tpu.engine.sketch_container import SketchContainer
+from tt_sketch_tpu.formats.sparse import SparseTensor
+from tt_sketch_tpu.formats.tensor_sum import TensorSum
+from tt_sketch_tpu.formats.tensor_train import TensorTrain
+from tt_sketch_tpu.kernels.sketch_kernels import _psi_sparse_segment
+from tt_sketch_tpu.rng.hash_rng import inds_to_normal_block
+from tt_sketch_tpu.utils import TTRank, process_tt_rank
+
+
+def _axis_size(mesh: Mesh, axis: Optional[str]) -> int:
+    return 1 if axis is None else mesh.shape[axis]
+
+
+def _axis_index(axis: Optional[str]):
+    return jnp.int32(0) if axis is None else jax.lax.axis_index(axis)
+
+
+def _block_sizes(rank: Tuple[int, ...], n_blocks: int) -> Tuple[int, ...]:
+    for r in rank:
+        if r % n_blocks != 0:
+            raise ValueError(
+                f"Rank {rank} must be divisible by the rank-axis size "
+                f"{n_blocks}"
+            )
+    return tuple(r // n_blocks for r in rank)
+
+
+def _pad_nnz(indices, entries, multiple: int):
+    """Pad with zero entries (index 0...0): exact, since every Ψ/Ω
+    contribution scales with the entry value."""
+    nnz = entries.shape[0]
+    padded = -nnz % multiple
+    if padded:
+        indices = jnp.concatenate(
+            [indices, jnp.zeros((indices.shape[0], padded), indices.dtype)],
+            axis=1,
+        )
+        entries = jnp.concatenate(
+            [entries, jnp.zeros((padded,), entries.dtype)]
+        )
+    return indices, entries
+
+
+def sharded_sparse_stream_sketch(
+    tensor: SparseTensor,
+    left_rank: TTRank,
+    right_rank: TTRank,
+    seed: int,
+    mesh: Mesh,
+    data_axis: Optional[str] = "data",
+    left_rank_axis: Optional[str] = None,
+    right_rank_axis: Optional[str] = None,
+    dtype=None,
+) -> SketchedTensorTrain:
+    """Streaming sketch of a COO tensor sharded over a device mesh.
+
+    Equals the single-chip
+    ``stream_sketch(tensor, ..., SparseGaussianDRM)`` up to float summation
+    order.  ``data_axis`` shards nnz; ``left_rank_axis``/``right_rank_axis``
+    shard the DRM rank dimensions (the blocked-sketch decomposition).
+    """
+    from tt_sketch_tpu.config import DEFAULT_DTYPE
+
+    dtype = dtype or DEFAULT_DTYPE
+    shape = tensor.shape
+    d = len(shape)
+    right_bigger = bool(np.all(np.array(left_rank) < np.array(right_rank)))
+    left_rank = process_tt_rank(left_rank, shape, trim=right_bigger)
+    right_rank = process_tt_rank(right_rank, shape, trim=not right_bigger)
+    left_seed = int(seed % (2 ** 32 - 1))
+    right_seed = int(_derive_right_seed(seed, d) % (2 ** 32 - 1))
+
+    n_data = _axis_size(mesh, data_axis)
+    n_left = _axis_size(mesh, left_rank_axis)
+    n_right = _axis_size(mesh, right_rank_axis)
+    lb = _block_sizes(left_rank, n_left)
+    rb = _block_sizes(right_rank, n_right)
+
+    indices, entries = _pad_nnz(
+        jnp.asarray(tensor.indices), jnp.asarray(tensor.entries, dtype), n_data
+    )
+
+    mesh_axes = tuple(
+        a for a in (data_axis, left_rank_axis, right_rank_axis) if a is not None
+    )
+
+    def shard_fn(indices, entries):
+        li = _axis_index(left_rank_axis)
+        rj = _axis_index(right_rank_axis)
+
+        # Left DRM rows for this device's rank block, at its nnz shard.
+        left_mats = []
+        for mu in range(d - 1):
+            mat = inds_to_normal_block(
+                indices[: mu + 1],
+                shape[: mu + 1],
+                li * lb[mu],
+                lb[mu],
+                (mu + left_seed) % (2 ** 63),
+                dtype=dtype,
+            )
+            left_mats.append(mat.T)
+
+        # Right DRM = left DRM of the reversed tensor, output order reversed.
+        r_indices = indices[::-1]
+        r_shape = shape[::-1]
+        right_rank_gen = right_rank[::-1]
+        right_gen = []
+        for k in range(d - 1):
+            block = rb[::-1][k]
+            mat = inds_to_normal_block(
+                r_indices[: k + 1],
+                r_shape[: k + 1],
+                rj * block,
+                block,
+                (k + right_seed) % (2 ** 63),
+                dtype=dtype,
+            )
+            right_gen.append(mat.T)
+        right_mats = right_gen[::-1]  # right_mats[mu] has rank rb[mu]
+
+        # Partial Ω blocks
+        Omega_mats = []
+        for mu in range(d - 1):
+            block = (left_mats[mu] * entries) @ right_mats[mu].T
+            full = jnp.zeros((left_rank[mu], right_rank[mu]), dtype)
+            Omega_mats.append(
+                jax.lax.dynamic_update_slice(
+                    full,
+                    block,
+                    (jnp.int32(li * lb[mu]), jnp.int32(rj * rb[mu])),
+                )
+            )
+
+        # Partial Ψ blocks
+        Psi_cores = []
+        for mu in range(d):
+            lmat = left_mats[mu - 1] if mu > 0 else None
+            rmat = right_mats[mu] if mu < d - 1 else None
+            block = _psi_sparse_segment(
+                lmat, rmat, entries, indices[mu], shape[mu]
+            )
+            r1 = left_rank[mu - 1] if mu > 0 else 1
+            r2 = right_rank[mu] if mu < d - 1 else 1
+            full = jnp.zeros((r1, shape[mu], r2), dtype)
+            off1 = jnp.int32(li * lb[mu - 1]) if mu > 0 else jnp.int32(0)
+            off2 = jnp.int32(rj * rb[mu]) if mu < d - 1 else jnp.int32(0)
+            placed = jax.lax.dynamic_update_slice(
+                full, block, (off1, jnp.int32(0), off2)
+            )
+            # Edge cores have no left/right block axis: keep exactly one
+            # rank-axis copy to avoid double counting under psum.
+            if mu == 0 and left_rank_axis is not None:
+                placed = placed * (li == 0)
+            if mu == d - 1 and right_rank_axis is not None:
+                placed = placed * (rj == 0)
+            Psi_cores.append(placed)
+
+        out = (tuple(Psi_cores), tuple(Omega_mats))
+        return jax.lax.psum(out, mesh_axes)
+
+    in_spec = (P(None, data_axis), P(data_axis))
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=in_spec, out_specs=P()
+        )
+    )
+    Psi_cores, Omega_mats = fn(indices, entries)
+
+    container = SketchContainer(
+        list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
+    )
+    left_drm = SparseGaussianDRM(
+        left_rank, shape=shape, transpose=False, seed=left_seed, dtype=dtype
+    )
+    right_drm = SparseGaussianDRM(
+        right_rank, shape=shape, transpose=True, seed=right_seed, dtype=dtype
+    )
+    return SketchedTensorTrain(container, left_drm, right_drm)
+
+
+def sharded_tt_sum_stream_sketch(
+    summands_cores,
+    shape: Tuple[int, ...],
+    left_rank: TTRank,
+    right_rank: TTRank,
+    seed: int,
+    mesh: Mesh,
+    data_axis: str = "data",
+    dtype=None,
+) -> SketchedTensorTrain:
+    """Streaming sketch of a sum of equal-rank TTs, summands sharded over
+    the data axis (the streamed-summand scaling axis).
+
+    ``summands_cores``: list over modes of stacked cores with a leading
+    summand axis, i.e. entry μ has shape ``(n_summands, r1, n_μ, r2)``.
+    Padding summands with zero cores is exact.
+    """
+    from tt_sketch_tpu.config import DEFAULT_DTYPE
+
+    dtype = dtype or DEFAULT_DTYPE
+    d = len(shape)
+    right_bigger = bool(np.all(np.array(left_rank) < np.array(right_rank)))
+    left_rank = process_tt_rank(left_rank, shape, trim=right_bigger)
+    right_rank = process_tt_rank(right_rank, shape, trim=not right_bigger)
+    left_seed = int(seed % (2 ** 32 - 1))
+    right_seed = int(_derive_right_seed(seed, d) % (2 ** 32 - 1))
+
+    left_drm = TensorTrainDRM(
+        left_rank, shape=shape, transpose=False, seed=left_seed, dtype=dtype
+    )
+    right_drm = TensorTrainDRM(
+        right_rank, shape=shape, transpose=True, seed=right_seed, dtype=dtype
+    )
+
+    n_data = mesh.shape[data_axis]
+    n_sum = summands_cores[0].shape[0]
+    pad = -n_sum % n_data
+    if pad:
+        summands_cores = [
+            jnp.concatenate(
+                [C, jnp.zeros((pad,) + C.shape[1:], C.dtype)], axis=0
+            )
+            for C in summands_cores
+        ]
+
+    def single_tt_sketch(cores):
+        tt = TensorTrain(list(cores))
+        from tt_sketch_tpu.engine.dispatch import (
+            SketchMethod,
+            general_sketch,
+        )
+
+        sk = general_sketch(tt, left_drm, right_drm, SketchMethod.streaming)
+        return tuple(sk.Psi_cores), tuple(sk.Omega_mats)
+
+    def shard_fn(*cores):
+        psis, omegas = jax.vmap(single_tt_sketch)(cores)
+        summed = jax.tree.map(lambda x: jnp.sum(x, axis=0), (psis, omegas))
+        return jax.lax.psum(summed, data_axis)
+
+    in_specs = tuple(P(data_axis) for _ in summands_cores)
+    fn = jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P())
+    )
+    Psi_cores, Omega_mats = fn(*summands_cores)
+    container = SketchContainer(
+        list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
+    )
+    return SketchedTensorTrain(container, left_drm, right_drm)

@@ -266,3 +266,31 @@ def lazy_gaussian_matrix(
     flat = jnp.arange(n_rows, dtype=jnp.uint64)
     h = _hash_bits(flat, int(rank_min), int(rank_max), seed)
     return ndtri(uniform_from_bits(h))
+
+
+def inds_to_normal_block(
+    indices,
+    shape: Sequence[int],
+    rank_start,
+    block_size: int,
+    seed,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """Like ``inds_to_normal`` but with a *traced* starting column.
+
+    ``block_size`` must be static; ``rank_start`` may be a traced scalar
+    (e.g. derived from ``lax.axis_index`` under ``shard_map``), so every
+    device in an SPMD program can generate its own rank-block of the DRM.
+    Equals columns ``[rank_start, rank_start + block_size)`` of the full
+    generation bit-for-bit.
+    """
+    from jax.scipy.special import ndtri
+
+    flat = _flat_index(jnp.asarray(indices), shape)
+    seed = jnp.asarray(seed, jnp.uint64) % jnp.uint64(2 ** 63)
+    cols = jnp.arange(block_size, dtype=jnp.uint64) + jnp.asarray(
+        rank_start, jnp.uint64
+    )
+    salt = hash_int(cols) + seed
+    h = hash_int(flat[:, None] + salt[None, :])
+    return ndtri(uniform_from_bits(h)).astype(dtype)
