@@ -1,0 +1,57 @@
+"""Fused dense sketch engine vs the generic dispatch engine."""
+import jax.numpy as jnp
+import numpy as np
+
+from tt_sketch_tpu.drm import TensorTrainDRM
+from tt_sketch_tpu.engine.dispatch import SketchMethod, general_sketch
+from tt_sketch_tpu.engine.sketch import SketchedTensorTrain
+from tt_sketch_tpu.engine.sketch_container import SketchContainer
+from tt_sketch_tpu.formats import DenseTensor, TensorTrain
+from tt_sketch_tpu.kernels.dense_engine import (
+    dense_stream_sketch_fused,
+    slab_stream_sketch,
+)
+
+SHAPE = (8, 5, 6, 7)
+
+
+def _setup():
+    tt = TensorTrain.random(SHAPE, 3, seed=0)
+    X = DenseTensor(tt.to_dense())
+    ld = TensorTrainDRM((4, 4, 4), shape=SHAPE, transpose=False, seed=1)
+    rd = TensorTrainDRM((7, 7, 7), shape=SHAPE, transpose=True, seed=2)
+    return X, ld, rd
+
+
+def test_fused_equals_generic():
+    X, ld, rd = _setup()
+    ref = general_sketch(X, ld, rd, SketchMethod.streaming)
+    psis, omegas = dense_stream_sketch_fused(X.data, ld.cores, rd.cores)
+    for a, b in zip(ref.Psi_cores, psis):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    for a, b in zip(ref.Omega_mats, omegas):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_slab_streaming_equals_full():
+    X, ld, rd = _setup()
+    ref = general_sketch(X, ld, rd, SketchMethod.streaming)
+    cont = slab_stream_sketch(
+        lambda i: X.data[i * 2: (i + 1) * 2],
+        n_slabs=4,
+        shape=SHAPE,
+        left_cores=ld.cores,
+        right_cores=rd.cores,
+        dtype=jnp.float64,
+    )
+    for a, b in zip(ref.Psi_cores, cont.Psi_cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    for a, b in zip(ref.Omega_mats, cont.Omega_mats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_fused_exact_recovery():
+    X, ld, rd = _setup()
+    psis, omegas = dense_stream_sketch_fused(X.data, ld.cores, rd.cores)
+    sk = SketchedTensorTrain(SketchContainer(psis, omegas), ld, rd)
+    assert sk.to_tt().error(X, relative=True) < 1e-9

@@ -135,10 +135,27 @@ class TensorTrainDRM(
 
     @handle_transpose
     def sketch_dense(self, tensor) -> List[jnp.ndarray]:
+        """Per-mode DRM matrices ``(rank, n_1⋯n_{μ+1})``.
+
+        For the transposed (right) DRM the chain runs over the reversed
+        tensor, so its natural row enumeration is reversed-mode-major; we
+        re-enumerate to pair index-for-index with the *original* tensor's
+        C-order suffix flattening.  (The reference skips this and thereby
+        pairs chain cores against scrambled suffix indices — statistically
+        harmless but structurally accidental; see kernels/dense_engine.py.)
+        """
         out, state = [], None
         for mu, core in enumerate(self.cores):
             state = chain_step_dense(state, core)
-            out.append(self._slice(state, mu).T)
+            mat = self._slice(state, mu)  # (ñ_0⋯ñ_mu, r)
+            if self.transpose:
+                dims = tuple(tensor.shape[: mu + 1])
+                mat = mat.reshape(dims + (-1,))
+                mat = jnp.transpose(
+                    mat, tuple(range(mu, -1, -1)) + (mu + 1,)
+                )
+                mat = mat.reshape(-1, mat.shape[-1])
+            out.append(mat.T)
         return out
 
     @handle_transpose
