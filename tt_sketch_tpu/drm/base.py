@@ -15,6 +15,7 @@ import copy
 from abc import ABC, abstractmethod
 from typing import Callable, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -82,6 +83,38 @@ class DRM(ABC):
             f"<{direction} {self.__class__.__name__} of rank {self.rank}"
             f" and shape {self.shape}>"
         )
+
+    # -- pytree protocol ------------------------------------------------
+    # DRMs are pytrees so whole sketches jit over (tensor, left, right):
+    # array state (e.g. TT-DRM cores) are children; config is static aux.
+
+    _PYTREE_ARRAY_FIELDS: Tuple[str, ...] = ()
+
+    def _aux_fields(self) -> dict:
+        return {
+            k: v
+            for k, v in self.__dict__.items()
+            if k not in self._PYTREE_ARRAY_FIELDS
+        }
+
+    def tree_flatten(self):
+        children = tuple(
+            getattr(self, k) for k in self._PYTREE_ARRAY_FIELDS
+        )
+        return children, tuple(sorted(self._aux_fields().items()))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.__dict__.update(dict(aux))
+        for k, v in zip(cls._PYTREE_ARRAY_FIELDS, children):
+            setattr(obj, k, v)
+        return obj
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if not getattr(cls, "__abstractmethods__", True):
+            jax.tree_util.register_pytree_node_class(cls)
 
 
 class CanSlice(DRM):

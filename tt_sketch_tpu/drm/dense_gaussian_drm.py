@@ -25,6 +25,7 @@ class DenseGaussianDRM(
     CansketchTT, CansketchSparse, CansketchDense, CanIncreaseRank
 ):
     sketching_mats: List[jnp.ndarray]
+    _PYTREE_ARRAY_FIELDS = ("sketching_mats",)
 
     def __init__(
         self,

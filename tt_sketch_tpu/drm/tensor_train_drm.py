@@ -82,6 +82,7 @@ class TensorTrainDRM(
     norm-preserving random TT (last core dropped)."""
 
     cores: List[jnp.ndarray]
+    _PYTREE_ARRAY_FIELDS = ("cores",)
 
     def __init__(
         self,

@@ -12,8 +12,10 @@ Parity: reference sketch.py.  Deliberate divergences (SURVEY.md §2.4):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple, Type
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,6 +76,19 @@ def _rank_matches(drm_rank, requested, shape) -> bool:
 
 def _random_seed() -> int:
     return int(np.random.default_rng().integers(0, 2 ** 32))
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _compiled_general_sketch(tensor, left_drm, right_drm, method: str):
+    """One fused XLA program for the whole sketch.
+
+    Tensors and DRMs are pytrees (config static, arrays traced), so repeated
+    sketches with the same structure — streaming updates, GMRES rounding —
+    compile once and then run without Python dispatch overhead.
+    """
+    return general_sketch(
+        tensor, left_drm, right_drm, SketchMethod(method)
+    )
 
 
 def _resolve_drm_types(left_type, right_type):
@@ -186,9 +201,13 @@ def stream_sketch(
     right_drm: Optional[DRM] = None,
     return_drm: bool = False,
     dtype=None,
+    compile: bool = False,
 ):
     """Two-sided streaming (STTA) sketch; returns a ``SketchedTensorTrain``
-    that supports exact updates (``+ tensor``) and cheap recovery."""
+    that supports exact updates (``+ tensor``) and cheap recovery.
+
+    ``compile=True`` runs the whole sketch as one jitted XLA program
+    (cached across calls with the same tensor/DRM structure)."""
     d = len(tensor.shape)
     left_rank_bigger = bool(np.all(np.array(left_rank) > np.array(right_rank)))
     right_rank_bigger = bool(np.all(np.array(left_rank) < np.array(right_rank)))

@@ -224,7 +224,11 @@ def round_tt_sum(
         left_rank = process_tt_rank(max_rank, tt_sum.shape, trim=True)
         right_rank = tuple(ceil(r * oversample_factor) for r in left_rank)
         return stream_sketch(
-            tt_sum, left_rank=left_rank, right_rank=right_rank, seed=seed
+            tt_sum,
+            left_rank=left_rank,
+            right_rank=right_rank,
+            seed=seed,
+            compile=True,
         ).to_tt()
     if method == "orth_sketch":
         left_rank = process_tt_rank(max_rank, tt_sum.shape, trim=True)
