@@ -93,5 +93,5 @@ class CPTensor(Tensor):
         cores = []
         for n, s in zip(shape, seeds):
             C = random_normal((n, rank), seed=int(s), dtype=dtype)
-            cores.append(C / np.sqrt(n))
+            cores.append(C / float(np.sqrt(n)))
         return cls(cores)

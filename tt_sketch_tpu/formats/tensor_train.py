@@ -152,9 +152,9 @@ class TensorTrain(Tensor):
             if orthog and i < d - 1:
                 core, _ = jnp.linalg.qr(core)
             elif norm_goal == "norm-1":
-                core = core / np.sqrt(r1 * n)
+                core = core / float(np.sqrt(r1 * n))
             elif norm_goal == "norm-preserve":
-                core = core / np.sqrt(r1)
+                core = core / float(np.sqrt(r1))
             else:
                 raise ValueError(f"Unknown norm goal: {norm_goal}")
             cores.append(core.reshape(r1, n, r2))

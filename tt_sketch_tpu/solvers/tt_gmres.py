@@ -118,7 +118,7 @@ class MPO(Tensor, TTLinearMap):
         ):
             C = random_normal((r1, s1, s2, r2), seed=int(s), dtype=dtype)
             C = C + jnp.transpose(C, (0, 2, 1, 3)).reshape(C.shape)
-            C = C * np.sqrt(s1 * s2) / jnp.linalg.norm(C)
+            C = C * (float(np.sqrt(s1 * s2)) / jnp.linalg.norm(C))
             cores.append(C)
         return cls(cores)
 
