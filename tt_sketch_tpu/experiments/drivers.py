@@ -1,0 +1,305 @@
+"""Experiment drivers — one per reference ``scripts/plot_*.py`` sweep.
+
+Each driver runs a resumable parameter sweep into ``<out>/<name>.csv``
+(interrupt and re-run: completed combinations are skipped).  ``quick=True``
+shrinks every grid to a seconds-scale smoke configuration (used by tests
+and for a fast end-to-end check on new hardware).
+
+Run from the CLI:  ``python -m tt_sketch_tpu.experiments hilbert --quick``.
+"""
+from __future__ import annotations
+
+import itertools
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+from tt_sketch_tpu.drm import DenseGaussianDRM, TensorTrainDRM
+from tt_sketch_tpu.experiments import problems, tasks
+from tt_sketch_tpu.experiments.runner import Experiment
+
+DRM_TYPES = [DenseGaussianDRM, TensorTrainDRM]
+
+
+def _exp(out: str, name: str) -> Experiment:
+    return Experiment(str(Path(out) / f"{name}.csv"))
+
+
+def _seed_for(rank: int, run: int, extra: int = 0) -> int:
+    return 100_003 * run + 1009 * rank + extra
+
+
+def _sweep_all_methods(
+    experiment: Experiment,
+    tensor,
+    ranks: Sequence[int],
+    runs: Sequence[int],
+    drm_types,
+    oversample: int = 2,
+    tt_svd_ranks: Optional[Sequence[int]] = None,
+    progress: bool = True,
+) -> None:
+    """The OTTS/STTA/HMT/TT-SVD grid shared by hilbert/sqrt/tt_sum/cp
+    drivers (plot_hilbert.py:36-87 et al.)."""
+    grid = list(itertools.product(ranks, runs, drm_types))
+    for rank, run, drm_type in _maybe_tqdm(grid, "OTTS", progress):
+        experiment.run(
+            tensor, "OTTS", tasks.experiment_orthogonal_sketch,
+            left_rank=rank, right_rank=rank * oversample,
+            left_drm_type=drm_type, right_drm_type=drm_type,
+            run=run, seed=_seed_for(rank, run, 1),
+        )
+    for rank, run, drm_type in _maybe_tqdm(grid, "STTA", progress):
+        experiment.run(
+            tensor, "STTA", tasks.experiment_stream_sketch,
+            left_rank=rank, right_rank=rank * oversample,
+            left_drm_type=drm_type, right_drm_type=drm_type,
+            run=run, seed=_seed_for(rank, run, 2),
+        )
+    for rank, run, drm_type in _maybe_tqdm(grid, "HMT", progress):
+        experiment.run(
+            tensor, "HMT", tasks.experiment_hmt_sketch,
+            rank=rank, drm_type=drm_type,
+            run=run, seed=_seed_for(rank, run, 3),
+        )
+    for rank in _maybe_tqdm(
+        list(tt_svd_ranks if tt_svd_ranks is not None else ranks),
+        "TT-SVD", progress,
+    ):
+        experiment.run(tensor, "TT-SVD", tasks.experiment_tt_svd, rank=rank)
+
+
+def _maybe_tqdm(iterable, desc: str, progress: bool):
+    if not progress:
+        return iterable
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, desc=desc)
+    except ImportError:
+        return iterable
+
+
+def run_hilbert(out: str = "results", quick: bool = False, progress=True):
+    """7-dim size-5 Hilbert tensor sweep (plot_hilbert.py:30-87)."""
+    tensor = problems.hilbert_problem()
+    ranks = [2, 5, 8] if quick else list(range(1, 16))
+    runs = range(2) if quick else range(20)
+    drms = [TensorTrainDRM] if quick else DRM_TYPES
+    exp = _exp(out, "hilbert")
+    _sweep_all_methods(exp, tensor, ranks, runs, drms, progress=progress)
+    return exp
+
+
+def run_sqrt(out: str = "results", quick: bool = False, progress=True):
+    """sqrt-of-sum tensor sweep (plot_sqrt_tensor.py:24-80)."""
+    tensor = problems.sqrt_problem()
+    ranks = [2, 5, 8] if quick else list(range(1, 16))
+    runs = range(2) if quick else range(20)
+    drms = [TensorTrainDRM] if quick else DRM_TYPES
+    exp = _exp(out, "sqrt")
+    _sweep_all_methods(exp, tensor, ranks, runs, drms, progress=progress)
+    return exp
+
+
+def run_tt_sum(out: str = "results", quick: bool = False, progress=True):
+    """Sum of 20 decaying rank-3 TTs (plot_tt_sum.py:18-34)."""
+    tensor = problems.tt_sum_problem()
+    ranks = [3, 10] if quick else list(range(1, 31))
+    runs = range(2) if quick else range(30)
+    exp = _exp(out, "tt_sum")
+    _sweep_all_methods(
+        exp, tensor, ranks, runs, [TensorTrainDRM], progress=progress
+    )
+    return exp
+
+
+def run_tt_plus_sparse(out: str = "results", quick: bool = False, progress=True):
+    """Rank-5 TT + decaying sparse outliers (plot_tt_plus_sparse.py:22-41)."""
+    tensor = problems.tt_plus_sparse_problem()
+    ranks = [5, 10] if quick else list(range(1, 31))
+    runs = range(2) if quick else range(30)
+    exp = _exp(out, "tt_plus_sparse")
+    _sweep_all_methods(
+        exp, tensor, ranks, runs, [TensorTrainDRM], progress=progress
+    )
+    return exp
+
+
+def run_cp(out: str = "results", quick: bool = False, progress=True):
+    """Rank-100 CP with decaying norms (plot_cp_tensor.py:23-37)."""
+    tensor = problems.cp_problem()
+    ranks = [5, 10] if quick else list(range(1, 31))
+    runs = range(2) if quick else range(30)
+    exp = _exp(out, "cp_tensor")
+    _sweep_all_methods(
+        exp, tensor, ranks, runs, [TensorTrainDRM], progress=progress
+    )
+    return exp
+
+
+def run_dimension_scaling(
+    out: str = "results", quick: bool = False, progress=True
+):
+    """Order scaling to d = 2^13 on the uniform scan engine
+    (plot_dimension_scaling.py:20-25: dim 30, rank 30, round to 10)."""
+    orders = [8, 16] if quick else [2 ** k for k in range(2, 14)]
+    dim, rank = (6, 5) if quick else (30, 30)
+    recomp = 3 if quick else 10
+    runs = range(1) if quick else range(5)
+    exp = _exp(out, "dimension_scaling")
+    for order in _maybe_tqdm(orders, "order-scaling", progress):
+        stacked = problems.exp_decay_uniform_problem(order, dim, rank)
+        for run in runs:
+            exp.run(
+                stacked, "STTA", tasks.experiment_uniform_stream_sketch,
+                left_rank=rank, right_rank=2 * rank,
+                recompression_rank=recomp,
+                order=order, dim=dim, run=run, seed=_seed_for(order, run, 4),
+            )
+            exp.run(
+                stacked, "HMT", tasks.experiment_uniform_hmt_sketch,
+                rank=rank, recompression_rank=recomp,
+                order=order, dim=dim, run=run, seed=_seed_for(order, run, 5),
+            )
+    return exp
+
+
+def run_timings(out: str = "results", quick: bool = False, progress=True):
+    """Dense wall-time benchmark, shape (100,)^5 targets rank 150
+    (plot_timings.py:28-36); STTA x2 and +3 oversampling vs HMT."""
+    dim = 20 if quick else 100
+    tensor = problems.dense_random_problem(dim=dim)
+    ranks = [5, 10] if quick else list(range(25, 151, 25))
+    runs = range(2) if quick else range(5)
+    exp = _exp(out, "timings")
+    grid = list(itertools.product(ranks, runs))
+    for rank, run in _maybe_tqdm(grid, "STTA-x2", progress):
+        exp.run(
+            tensor, "STTA-x2", tasks.experiment_stream_sketch,
+            left_rank=rank, right_rank=2 * rank,
+            run=run, seed=_seed_for(rank, run, 6),
+        )
+    for rank, run in _maybe_tqdm(grid, "STTA-plus3", progress):
+        exp.run(
+            tensor, "STTA-plus3", tasks.experiment_stream_sketch,
+            left_rank=rank, right_rank=rank + 3,
+            run=run, seed=_seed_for(rank, run, 7),
+        )
+    for rank, run in _maybe_tqdm(grid, "HMT", progress):
+        exp.run(
+            tensor, "HMT", tasks.experiment_hmt_sketch,
+            rank=rank, run=run, seed=_seed_for(rank, run, 8),
+        )
+    return exp
+
+
+def run_right_oversampling(
+    out: str = "results", quick: bool = False, progress=True
+):
+    """STTA error vs right-oversampling at left rank 10
+    (plot_right_oversampling.py:42-46)."""
+    tensor = problems.tt_sum_problem()
+    left_rank = 5 if quick else 10
+    right_ranks = [7, 12] if quick else list(range(12, 51, 2))
+    runs = range(2) if quick else range(100)
+    exp = _exp(out, "right_oversampling")
+    grid = list(itertools.product(right_ranks, runs))
+    for right_rank, run in _maybe_tqdm(grid, "STTA", progress):
+        exp.run(
+            tensor, "STTA", tasks.experiment_stream_sketch,
+            left_rank=left_rank, right_rank=right_rank,
+            run=run, seed=_seed_for(right_rank, run, 9),
+        )
+    return exp
+
+
+def run_recompression(out: str = "results", quick: bool = False, progress=True):
+    """Sketch at rank r then round to fixed rank 10, vs TT-SVD
+    (plot_recompression.py:42-79)."""
+    tensor = problems.sqrt_problem()
+    target = 3 if quick else 10
+    ranks = [4, 8] if quick else list(range(10, 41, 2))
+    runs = range(2) if quick else range(20)
+    exp = _exp(out, "recompression")
+    grid = list(itertools.product(ranks, runs))
+    for rank, run in _maybe_tqdm(grid, "STTA-recomp", progress):
+        exp.run(
+            tensor, "STTA", tasks.experiment_stream_sketch,
+            left_rank=rank, right_rank=2 * rank,
+            recompression_rank=target,
+            run=run, seed=_seed_for(rank, run, 10),
+        )
+    for rank, run in _maybe_tqdm(grid, "HMT-recomp", progress):
+        exp.run(
+            tensor, "HMT", tasks.experiment_hmt_sketch,
+            rank=rank, recompression_rank=target,
+            run=run, seed=_seed_for(rank, run, 11),
+        )
+    exp.run(tensor, "TT-SVD", tasks.experiment_tt_svd, rank=target)
+    return exp
+
+
+def run_cookie(out: str = "results", quick: bool = False, progress=True):
+    """TT-GMRES on the synthetic cookie problem: sketch vs pairwise
+    rounding x max_rank sweep (do_cookie.py:22-58)."""
+    from tt_sketch_tpu.solvers.tt_gmres import tt_sum_gmres
+
+    num_coeffs = 4 if quick else 20
+    n = 20 if quick else 60
+    A, b, precond = problems_cookie(num_coeffs=num_coeffs, n=n)
+    max_ranks = [8] if quick else list(range(10, 101, 15))
+    maxiter = 8 if quick else 50
+    exp = _exp(out, "cookie")
+
+    def gmres_task(_input, rounding_method=None, max_rank=None, seed=0, **kw):
+        import time
+
+        start = time.perf_counter()
+        x, history = tt_sum_gmres(
+            A, b, max_rank=max_rank, precond=precond, maxiter=maxiter,
+            rounding_method=rounding_method, seed=seed,
+        )
+        time_taken = time.perf_counter() - start
+        return {
+            "error": float(history["residual_norm"][-1]),
+            "time_taken": time_taken,
+            "iterations": len(history["residual_norm"]),
+            "final_rank": max(x.rank),
+        }
+
+    grid = list(
+        itertools.product(["sketch", "pairwise"], max_ranks)
+    )
+    for rounding, max_rank in _maybe_tqdm(grid, "cookie-GMRES", progress):
+        exp.run(
+            None, f"GMRES-{rounding}", gmres_task,
+            rounding_method=rounding, max_rank=max_rank,
+            seed=_seed_for(max_rank, 0, 12),
+        )
+    return exp
+
+
+def problems_cookie(num_coeffs: int, n: int):
+    from tt_sketch_tpu.solvers.parametric import (
+        prepare_synthetic_cookie_problem,
+    )
+
+    return prepare_synthetic_cookie_problem(num_coeffs=num_coeffs, n=n)
+
+
+DRIVERS: Dict[str, object] = {
+    "hilbert": run_hilbert,
+    "sqrt": run_sqrt,
+    "tt_sum": run_tt_sum,
+    "tt_plus_sparse": run_tt_plus_sparse,
+    "cp": run_cp,
+    "dimension_scaling": run_dimension_scaling,
+    "timings": run_timings,
+    "right_oversampling": run_right_oversampling,
+    "recompression": run_recompression,
+    "cookie": run_cookie,
+}
+
+
+def available_experiments() -> List[str]:
+    return sorted(DRIVERS)
