@@ -1,0 +1,235 @@
+"""Pallas TPU kernel for counter-based lazy-Gaussian DRM generation.
+
+The parity path (``rng/hash_rng.py``) runs the splitmix64 pipeline in uint64
+(emulated on TPU under x64).  This module is the throughput path: the same
+hash, computed natively on the VPU with **uint32 pairs** (16-bit limb
+multiplies for the 64-bit products), fused with the uniform→normal map in
+one kernel — DRM blocks materialize straight into VMEM at vector speed with
+zero HBM round-trips for intermediates.
+
+Semantics vs the parity path (documented contract):
+
+- The integer hash is **bit-identical** (tested against the numpy oracle).
+- The uniform uses the top 24 of the 52 mantissa bits plus a half-ulp
+  offset: ``u = (u24 + 0.5) / 2^24`` (the offset keeps u in (0,1) so the
+  normal map can't hit ±inf).  Parity-path uniforms equal this to 2^-24.
+- The Gaussian map is ``sqrt(2)·erfinv(2u-1)`` in float32 (the hardware
+  ``erf_inv``), vs float64 Cephes/Boost ndtri on the parity path.
+
+So: same generator, float32-truncated output — what the throughput
+benchmarks and bf16/f32 sketches want.  Bit-parity tests use the x64 path.
+
+Reference for the generator semantics:
+/root/reference/tt_sketch/drm/fast_lazy_gaussian.pyx:13-105.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_U32 = jnp.uint32
+_MASK16 = np.uint32(0xFFFF)
+_MASK20 = np.uint32(0xFFFFF)
+
+# splitmix constants as (hi, lo) uint32 pairs
+_ADD1_HI, _ADD1_LO = np.uint32(0x4BE98134), np.uint32(0xA5976FD3)
+_MULT1_HI, _MULT1_LO = np.uint32(0xBF58476D), np.uint32(0x1CE4E5B9)
+_MULT2_HI, _MULT2_LO = np.uint32(0x94D049BB), np.uint32(0x133111EB)
+
+_SQRT2 = np.float32(np.sqrt(2.0))
+_INV_2_24 = np.float32(2.0 ** -24)
+
+
+def _add64(ah, al, bh, bl):
+    lo = al + bl
+    carry = (lo < al).astype(_U32)
+    return ah + bh + carry, lo
+
+
+def _xorshift_r(h, l, s: int):
+    """x ^= x >> s for a (hi, lo) pair, 0 < s < 32."""
+    sh = np.uint32(s)
+    inv = np.uint32(32 - s)
+    new_l = (l >> sh) | (h << inv)
+    new_h = h >> sh
+    return h ^ new_h, l ^ new_l
+
+
+def _mul32_wide(a, b):
+    """32x32 -> 64 product as a (hi, lo) pair via 16-bit limbs."""
+    a0, a1 = a & _MASK16, a >> np.uint32(16)
+    b0, b1 = b & _MASK16, b >> np.uint32(16)
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    t = ll + (lh << np.uint32(16))
+    c1 = (t < ll).astype(_U32)
+    lo = t + (hl << np.uint32(16))
+    c2 = (lo < t).astype(_U32)
+    hi = hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16)) + c1 + c2
+    return hi, lo
+
+
+def _mul64_low(ah, al, bh, bl):
+    """Low 64 bits of a 64x64 product, as a (hi, lo) pair."""
+    hi, lo = _mul32_wide(al, bl)
+    return hi + al * bh + ah * bl, lo
+
+
+def _hash64_pair(h, l):
+    """The splitmix-style avalanche hash on a (hi, lo) uint32 pair —
+    bit-identical to ``hash_rng.hash_int_np`` on the packed uint64."""
+    h, l = _add64(h, l, _ADD1_HI, _ADD1_LO)
+    h, l = _xorshift_r(h, l, 30)
+    h, l = _mul64_low(h, l, _MULT1_HI, _MULT1_LO)
+    h, l = _xorshift_r(h, l, 27)
+    h, l = _mul64_low(h, l, _MULT2_HI, _MULT2_LO)
+    h, l = _xorshift_r(h, l, 31)
+    return h, l
+
+
+# Giles (2010) single-precision erfinv polynomials; pure VPU ops because
+# Mosaic cannot lower lax.erf_inv inside a kernel.
+_ERFINV_CENTRAL = [
+    2.81022636e-08, 3.43273939e-07, -3.5233877e-06, -4.39150654e-06,
+    0.00021858087, -0.00125372503, -0.00417768164, 0.246640727, 1.50140941,
+]
+_ERFINV_TAIL = [
+    -0.000200214257, 0.000100950558, 0.00134934322, -0.00367342844,
+    0.00573950773, -0.0076224613, 0.00943887047, 1.00167406, 2.83297682,
+]
+
+
+def _erfinv_f32(x):
+    w = -jnp.log((np.float32(1.0) - x) * (np.float32(1.0) + x))
+    wc = w - np.float32(2.5)
+    wt = jnp.sqrt(w) - np.float32(3.0)
+    pc = jnp.full_like(x, np.float32(_ERFINV_CENTRAL[0]))
+    pt = jnp.full_like(x, np.float32(_ERFINV_TAIL[0]))
+    for cc, ct in zip(_ERFINV_CENTRAL[1:], _ERFINV_TAIL[1:]):
+        pc = np.float32(cc) + pc * wc
+        pt = np.float32(ct) + pt * wt
+    return jnp.where(w < np.float32(5.0), pc, pt) * x
+
+
+def _normal_from_pair(h, l):
+    """Top-24-mantissa-bit uniform + half ulp → sqrt(2)·erfinv(2u-1)."""
+    u24 = ((h & _MASK20) << np.uint32(4)) | (l >> np.uint32(28))
+    # u24 < 2^24 so the int32 view is exact; Mosaic has no u32->f32 cast
+    u = (u24.astype(jnp.int32).astype(jnp.float32) + np.float32(0.5)) * _INV_2_24
+    x = np.float32(2.0) * u - np.float32(1.0)
+    return _SQRT2 * _erfinv_f32(x)
+
+
+def _drm_block_kernel(flat_hi_ref, flat_lo_ref, salt_hi_ref, salt_lo_ref,
+                      out_ref):
+    # (R, 1) salts broadcast against (1, T) flats -> (R, T) block
+    h, l = _add64(
+        salt_hi_ref[:, :], salt_lo_ref[:, :],
+        flat_hi_ref[:, :], flat_lo_ref[:, :],
+    )
+    h, l = _hash64_pair(h, l)
+    out_ref[:, :] = _normal_from_pair(h, l)
+
+
+def _i32(v: int):
+    # index-map constants must stay 32-bit: under x64 a literal 0 traces to
+    # i64 and Mosaic fails to legalize the index-map function's return
+    return jnp.asarray(v, jnp.int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rank_min", "rank_max", "tile_n", "interpret"),
+)
+def _generate(flat, salts, rank_min: int, rank_max: int,
+              tile_n: int, interpret: bool):
+    N = flat.shape[0]
+    R = rank_max - rank_min
+    R_pad = _round_up(max(R, 1), 8)
+    N_pad = _round_up(max(N, 1), tile_n)
+
+    flat = jnp.pad(flat, (0, N_pad - N))
+    salts = jnp.pad(salts, (0, R_pad - R))
+    flat_hi = (flat >> np.uint64(32)).astype(_U32).reshape(1, N_pad)
+    flat_lo = (flat & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(1, N_pad)
+    salt_hi = (salts >> np.uint64(32)).astype(_U32).reshape(R_pad, 1)
+    salt_lo = (salts & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(R_pad, 1)
+
+    grid = (N_pad // tile_n,)
+    out = pl.pallas_call(
+        _drm_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((R_pad, N_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n), lambda i: (_i32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (_i32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_pad, 1), lambda i: (_i32(0), _i32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_pad, 1), lambda i: (_i32(0), _i32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_pad, tile_n), lambda i: (_i32(0), i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat_hi, flat_lo, salt_hi, salt_lo)
+    return out[:R, :N]
+
+
+def lazy_gaussian_pallas(
+    flat,
+    rank_min: int,
+    rank_max: int,
+    seed,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Generate the (rank_max-rank_min, N) float32 lazy-Gaussian DRM block
+    for flat indices ``flat`` (uint64) entirely on-chip.
+
+    Column salts are the same ``hash(col) + seed`` as the parity path, so
+    prefix-stable rank growth and rank slicing hold here too.  Transposed
+    layout (columns-first) because consumers contract over N.
+    """
+    from tt_sketch_tpu.rng.hash_rng import hash_int
+
+    flat = jnp.asarray(flat, jnp.uint64)
+    seed_u = jnp.asarray(seed, jnp.uint64) % jnp.uint64(2 ** 63)
+    salts = (
+        hash_int(jnp.arange(rank_min, rank_max, dtype=jnp.uint64)) + seed_u
+    )
+    return _generate(
+        flat, salts, int(rank_min), int(rank_max), int(tile_n),
+        bool(interpret),
+    )
+
+
+def inds_to_normal_pallas(
+    indices,
+    shape: Sequence[int],
+    rank_min: int,
+    rank_max: int,
+    seed,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in (transposed, float32) analog of ``hash_rng.inds_to_normal``:
+    returns (rank, N) instead of (N, rank)."""
+    from tt_sketch_tpu.rng.hash_rng import _flat_index
+
+    flat = _flat_index(jnp.asarray(indices), shape)
+    return lazy_gaussian_pallas(
+        flat, rank_min, rank_max, seed, interpret=interpret
+    )
