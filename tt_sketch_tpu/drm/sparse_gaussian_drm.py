@@ -32,15 +32,44 @@ class SparseGaussianDRM(CansketchSparse, CanIncreaseRank):
 
     @handle_transpose
     def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
+        use_pallas = self._use_pallas()
         out = []
         for mu in range(len(tensor.shape) - 1):
-            mat = inds_to_normal(
-                tensor.indices[: mu + 1],
-                tensor.shape[: mu + 1],
-                self.rank_min[mu],
-                self.rank_max[mu],
-                (mu + self.seed) % (2 ** 63),
-                dtype=self.dtype,
-            )
-            out.append(mat.T)
+            seed_mu = (mu + self.seed) % (2 ** 63)
+            if use_pallas:
+                from tt_sketch_tpu.kernels.pallas_rng import (
+                    inds_to_normal_pallas,
+                )
+
+                mat_t = inds_to_normal_pallas(
+                    tensor.indices[: mu + 1],
+                    tensor.shape[: mu + 1],
+                    self.rank_min[mu],
+                    self.rank_max[mu],
+                    seed_mu,
+                ).astype(self.dtype)
+            else:
+                mat_t = inds_to_normal(
+                    tensor.indices[: mu + 1],
+                    tensor.shape[: mu + 1],
+                    self.rank_min[mu],
+                    self.rank_max[mu],
+                    seed_mu,
+                    dtype=self.dtype,
+                ).T
+            out.append(mat_t)
         return out
+
+    def _use_pallas(self) -> bool:
+        """Fast path: the fused u32-pair Pallas generator, on TPU backends
+        with reduced-precision dtypes (float32/bfloat16).  The float64
+        parity path always uses the uint64 hash (identical distribution;
+        the Pallas path truncates the uniform to 24 bits — see
+        kernels/pallas_rng.py)."""
+        if jnp.dtype(self.dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+        ):
+            return False
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
