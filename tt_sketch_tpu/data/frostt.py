@@ -1,0 +1,164 @@
+"""FROSTT real-world sparse tensor loader (rebuild of scripts/frostt.py,
+which targets the pre-v1 reference API and no longer runs there).
+
+Registry of the four FROSTT tensors the reference experiments use
+(reference scripts/frostt.py:20-48), a ``.tns(.gz)`` parser (1-based
+indices, vectorized instead of the reference's per-line Python loop), npz
+caching, and the sketch-and-sample-error evaluation
+(scripts/frostt.py:100-118).
+
+Network access is optional and gated: in an air-gapped environment, drop
+the ``.tns.gz`` (or the cached ``.npz``) into the cache directory and the
+loader uses it; otherwise a download is attempted and any failure produces
+an actionable error naming the URL and the expected local path.
+"""
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+from tt_sketch_tpu.formats import SparseTensor
+
+DEFAULT_CACHE = Path("data")
+
+
+@dataclass(frozen=True)
+class FrosttInfo:
+    name: str
+    url: str
+    nnz: int
+    shape: Tuple[int, ...]
+
+
+FROSTT_TENSORS: Dict[str, FrosttInfo] = {
+    info.name: info
+    for info in [
+        FrosttInfo(
+            "nips",
+            "https://s3.us-east-2.amazonaws.com/frostt/frostt_data/nips/nips.tns.gz",
+            3101609,
+            (2482, 2862, 14036, 17),
+        ),
+        FrosttInfo(
+            "uber",
+            "https://s3.us-east-2.amazonaws.com/frostt/frostt_data/uber-pickups/uber.tns.gz",
+            3309490,
+            (183, 24, 1140, 1717),
+        ),
+        FrosttInfo(
+            "lbnl-network",
+            "https://s3.us-east-2.amazonaws.com/frostt/frostt_data/lbnl-network/lbnl-network.tns.gz",
+            1698825,
+            (1605, 4198, 1631, 4209, 868131),
+        ),
+        FrosttInfo(
+            "matmul_5-5-5",
+            "https://s3.us-east-2.amazonaws.com/frostt/frostt_data/matrix-multiplication/matmul_5-5-5.tns.gz",
+            125,
+            (25, 25, 25),
+        ),
+    ]
+}
+
+
+def parse_tns(path: Union[str, Path], shape: Optional[Tuple[int, ...]] = None
+              ) -> SparseTensor:
+    """Parse a FROSTT ``.tns`` / ``.tns.gz`` file into a ``SparseTensor``.
+
+    Format: one nonzero per line, 1-based indices then the value.  Parsed
+    with a single ``np.loadtxt`` pass (the reference loops per line).
+    """
+    path = Path(path)
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        mat = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    if mat.size == 0:
+        raise ValueError(f"{path} contains no nonzeros")
+    indices = mat[:, :-1].astype(np.int64).T - 1  # 1-based -> 0-based
+    entries = mat[:, -1]
+    if shape is None:
+        shape = tuple(int(m) + 1 for m in indices.max(axis=1))
+    return SparseTensor(tuple(shape), indices, entries)
+
+
+def _download(url: str, dest: Path) -> None:
+    import urllib.request
+
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dest.with_suffix(dest.suffix + ".part")
+    with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
+        while True:
+            chunk = r.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+    tmp.rename(dest)
+
+
+def load_frostt(
+    name: str,
+    cache_dir: Union[str, Path] = DEFAULT_CACHE,
+    download: bool = True,
+) -> SparseTensor:
+    """Load a FROSTT tensor by registry name, with npz caching.
+
+    Resolution order: ``<cache>/<file>.npz`` → ``<cache>/<file>.tns.gz``
+    (parsed then cached) → network download (if ``download``).
+    """
+    if name not in FROSTT_TENSORS:
+        raise KeyError(
+            f"unknown FROSTT tensor {name!r}; available: "
+            f"{sorted(FROSTT_TENSORS)}"
+        )
+    info = FROSTT_TENSORS[name]
+    cache = Path(cache_dir)
+    gz_path = cache / info.url.rsplit("/", 1)[-1]
+    npz_path = gz_path.with_suffix("").with_suffix(".npz")
+
+    if npz_path.exists():
+        with np.load(npz_path) as data:
+            return SparseTensor(
+                tuple(int(s) for s in data["shape"]),
+                data["indices"],
+                data["entries"],
+            )
+    if not gz_path.exists():
+        if not download:
+            raise FileNotFoundError(
+                f"FROSTT tensor {name!r} not cached: place {gz_path} (from "
+                f"{info.url}) or {npz_path} in {cache}/"
+            )
+        try:
+            _download(info.url, gz_path)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"could not download {info.url} ({type(e).__name__}: {e}); "
+                f"in an offline environment place the file at {gz_path}"
+            ) from e
+    tensor = parse_tns(gz_path, info.shape)
+    cache.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        npz_path,
+        indices=np.asarray(tensor.indices),
+        entries=np.asarray(tensor.entries),
+        shape=np.asarray(tensor.shape),
+    )
+    return tensor
+
+
+def sample_error(tt, tensor: SparseTensor, n_samples: int = 10_000,
+                 seed: int = 0) -> float:
+    """Relative error of ``tt`` against ``n_samples`` of the tensor's
+    nonzeros (reference scripts/frostt.py:110-118) — the evaluation used
+    for tensors too large to densify."""
+    rng = np.random.default_rng(seed)
+    nnz = int(np.asarray(tensor.entries).shape[0])
+    sample = rng.choice(nnz, size=min(n_samples, nnz), replace=False)
+    inds = np.asarray(tensor.indices)[:, sample]
+    entr = np.asarray(tensor.entries)[sample]
+    approx = np.asarray(tt.gather(inds))
+    return float(np.linalg.norm(approx - entr) / np.linalg.norm(entr))
