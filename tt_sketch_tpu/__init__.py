@@ -59,6 +59,15 @@ def __getattr__(name):
         "TTPrecond": "tt_sketch_tpu.solvers.tt_gmres",
         "round_tt_sum": "tt_sketch_tpu.solvers.tt_gmres",
         "tt_sum_gmres": "tt_sketch_tpu.solvers.tt_gmres",
+        "save_sketch": "tt_sketch_tpu.serialization",
+        "load_sketch": "tt_sketch_tpu.serialization",
+        "save_tt": "tt_sketch_tpu.serialization",
+        "load_tt": "tt_sketch_tpu.serialization",
+        "uniform_stream_sketch": "tt_sketch_tpu.engine.uniform",
+        "uniform_hmt_sketch": "tt_sketch_tpu.engine.uniform",
+        "load_frostt": "tt_sketch_tpu.data.frostt",
+        "Experiment": "tt_sketch_tpu.experiments.runner",
+        "StageTimer": "tt_sketch_tpu.profiling",
     }
     if name in _API:
         return getattr(import_module(_API[name]), name)
