@@ -123,3 +123,34 @@ def test_sharded_sparse_scaling_invariance_of_padding():
         X, (4, 4, 4), (8, 8, 8), seed=5, mesh=mesh, data_axis="data"
     )
     _assert_containers_close(ref.sketch_, sharded.sketch_)
+
+
+@needs_8
+def test_sharded_dense_matches_single_chip():
+    from tt_sketch_tpu.dist import sharded_dense_stream_sketch
+
+    shape = (8, 5, 6, 4)
+    X = jnp.asarray(np.random.default_rng(0).standard_normal(shape))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    sharded = sharded_dense_stream_sketch(X, 3, 6, seed=11, mesh=mesh)
+
+    single = stream_sketch(
+        __import__("tt_sketch_tpu").DenseTensor(X), 3, 6,
+        left_drm=sharded.left_drm, right_drm=sharded.right_drm,
+    )
+    _assert_containers_close(sharded.sketch_, single.sketch_)
+    err = sharded.to_tt().error(single.to_tt(), relative=True)
+    assert err < 1e-10
+
+
+@needs_8
+def test_sharded_dense_exact_recovery():
+    from tt_sketch_tpu.dist import sharded_dense_stream_sketch
+    from tt_sketch_tpu.formats import TensorTrain
+
+    shape = (8, 5, 6, 4)
+    tt = TensorTrain.random(shape, rank=2, seed=3)
+    X = tt.to_dense()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    sharded = sharded_dense_stream_sketch(X, 2, 4, seed=5, mesh=mesh)
+    assert sharded.to_tt().error(tt, relative=True) < 1e-9

@@ -213,6 +213,79 @@ def sharded_sparse_stream_sketch(
     return SketchedTensorTrain(container, left_drm, right_drm)
 
 
+def sharded_dense_stream_sketch(
+    X: jnp.ndarray,
+    left_rank: TTRank,
+    right_rank: TTRank,
+    seed: int,
+    mesh: Mesh,
+    data_axis: str = "data",
+    dtype=None,
+) -> SketchedTensorTrain:
+    """Streaming sketch of a dense tensor sharded in mode-0 slabs.
+
+    Each device runs the fused O(N)-memory dense engine on its slab against
+    the TT-DRM chains (its slab's rows of the mode-0 left core selected by
+    ``axis_index``); by linearity the partial containers psum to the
+    single-chip result.  Mode 0 must be divisible by the data-axis size.
+    """
+    from tt_sketch_tpu.config import DEFAULT_DTYPE
+    from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_fused
+
+    dtype = dtype or DEFAULT_DTYPE
+    shape = tuple(int(s) for s in X.shape)
+    d = len(shape)
+    right_bigger = bool(np.all(np.array(left_rank) < np.array(right_rank)))
+    left_rank = process_tt_rank(left_rank, shape, trim=right_bigger)
+    right_rank = process_tt_rank(right_rank, shape, trim=not right_bigger)
+    left_seed = int(seed % (2 ** 32 - 1))
+    right_seed = int(_derive_right_seed(seed, d) % (2 ** 32 - 1))
+
+    n_data = mesh.shape[data_axis]
+    if shape[0] % n_data != 0:
+        raise ValueError(
+            f"mode 0 ({shape[0]}) must be divisible by the data axis size "
+            f"({n_data})"
+        )
+    slab = shape[0] // n_data
+
+    left_drm = TensorTrainDRM(
+        left_rank, shape=shape, transpose=False, seed=left_seed, dtype=dtype
+    )
+    right_drm = TensorTrainDRM(
+        right_rank, shape=shape, transpose=True, seed=right_seed, dtype=dtype
+    )
+    left_cores = [jnp.asarray(c, dtype) for c in left_drm.cores]
+    right_cores = [jnp.asarray(c, dtype) for c in right_drm.cores]
+
+    def shard_fn(x_slab):
+        i = jax.lax.axis_index(data_axis)
+        core0 = jax.lax.dynamic_slice_in_dim(
+            left_cores[0], i * slab, slab, axis=1
+        )
+        psis, omegas = dense_stream_sketch_fused(
+            x_slab.astype(dtype), [core0] + left_cores[1:], right_cores
+        )
+        # Ψ_0 rows belong to this slab only: place at the slab offset.
+        full0 = jnp.zeros((1, shape[0], psis[0].shape[2]), dtype)
+        psi0 = jax.lax.dynamic_update_slice(
+            full0, psis[0], (jnp.int32(0), i * slab, jnp.int32(0))
+        )
+        out = (tuple([psi0] + list(psis[1:])), tuple(omegas))
+        return jax.lax.psum(out, data_axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=P(data_axis), out_specs=P()
+        )
+    )
+    Psi_cores, Omega_mats = fn(jnp.asarray(X))
+    container = SketchContainer(
+        list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
+    )
+    return SketchedTensorTrain(container, left_drm, right_drm)
+
+
 def sharded_tt_sum_stream_sketch(
     summands_cores,
     shape: Tuple[int, ...],
