@@ -23,7 +23,11 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "experiment",
-        help="experiment name, 'all', or 'list' to show available names",
+        help="experiment name, 'all', 'list', or 'plot' (render CSV figures)",
+    )
+    parser.add_argument(
+        "plot_target", nargs="?", default=None,
+        help="with 'plot': experiment name or 'all'",
     )
     parser.add_argument("--out", default="results", help="output directory")
     parser.add_argument(
@@ -53,6 +57,30 @@ def main(argv=None) -> int:
     if args.experiment == "list":
         for name in available_experiments():
             print(name)
+        return 0
+
+    if args.experiment == "plot":
+        from pathlib import Path
+
+        from tt_sketch_tpu.experiments import plots
+
+        targets = (
+            available_experiments()
+            if args.plot_target in (None, "all")
+            else [args.plot_target]
+        )
+        rendered = 0
+        for name in targets:
+            try:
+                png = plots.render(name, out=args.out)
+            except FileNotFoundError as e:
+                if args.plot_target not in (None, "all"):
+                    parser.error(str(e))
+                continue
+            print(f"[plot] {png}")
+            rendered += 1
+        if rendered == 0:
+            print(f"no CSVs found in {Path(args.out).resolve()}")
         return 0
 
     names = available_experiments() if args.experiment == "all" else [
