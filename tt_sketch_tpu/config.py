@@ -23,6 +23,21 @@ import numpy as np
 if not os.environ.get("TT_SKETCH_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: backend compile latency is the dominant
+# startup cost on tunneled/remote TPU backends (observed 1-20+ min variance
+# for the same program), and the cache makes re-runs of benchmarks and
+# experiments near-instant.  Opt out with TT_SKETCH_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("TT_SKETCH_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "TT_SKETCH_TPU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without these flags
+
 #: Default dtype for sketch computations.  float64 matches the CPU reference;
 #: pass dtype=jnp.float32 to the public APIs for the TPU fast path.
 DEFAULT_DTYPE = np.float64 if not os.environ.get("TT_SKETCH_TPU_NO_X64") else np.float32
