@@ -22,9 +22,11 @@ def main():
     from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_fused
 
     dtype = jnp.float32
-    # slab shape (64, 128, 128, 128) = 1.34e8 entries = 537 MB f32
-    slab_shape = (64, 128, 128, 128)
-    n_slabs = 75  # total 64*75 x 128^3 ≈ 1.006e10 entries ≈ 40.2 GB
+    # slab shape (256, 128, 128, 128) = 5.37e8 entries = 2.15 GB f32;
+    # larger slabs amortize per-dispatch overhead (measured: 64-row slabs
+    # sustain ~60-68 GB/s, 256-row slabs ~106 GB/s on v5e)
+    slab_shape = (256, 128, 128, 128)
+    n_slabs = 19  # total 256*19 x 128^3 ≈ 1.020e10 entries ≈ 40.8 GB
     shape = (slab_shape[0] * n_slabs,) + slab_shape[1:]
     left_rank, right_rank = 32, 64
 
