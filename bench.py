@@ -1,8 +1,9 @@
 """Headline benchmark: STTA streaming-sketch throughput per chip.
 
 Streams a 10^10-entry synthetic dense tensor (the BASELINE.json target
-config) through the fused slab sketch engine (mode-0 slabs, linearity) with
-TT-DRMs of rank 32/64 in float32, and reports sustained GB/s per chip.
+config) through the bisected slab sketch engine (mode-0 slabs, linearity;
+two GEMMs per slab — see kernels/dense_engine.py) with TT-DRMs of rank
+32/64 in float32, and reports sustained GB/s per chip.
 
 Baseline target (BASELINE.md): >= 1 GB/s/chip.  Prints exactly one JSON
 line: {"metric", "value", "unit", "vs_baseline"}.
@@ -19,12 +20,12 @@ def main():
     import jax.numpy as jnp
 
     from tt_sketch_tpu.drm import TensorTrainDRM
-    from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_fused
+    from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_bisect
 
     dtype = jnp.float32
     # slab shape (256, 128, 128, 128) = 5.37e8 entries = 2.15 GB f32;
-    # larger slabs amortize per-dispatch overhead (measured: 64-row slabs
-    # sustain ~60-68 GB/s, 256-row slabs ~106 GB/s on v5e)
+    # larger slabs amortize per-dispatch overhead (measured on v5e: sweep
+    # engine 110 GB/s at 256 rows; bisect engine 231 GB/s)
     slab_shape = (256, 128, 128, 128)
     n_slabs = 19  # total 256*19 x 128^3 ≈ 1.020e10 entries ≈ 40.8 GB
     shape = (slab_shape[0] * n_slabs,) + slab_shape[1:]
@@ -42,7 +43,7 @@ def main():
     @jax.jit
     def sketch_slab(slab, core0_slice):
         cores = [core0_slice] + left_rest
-        psis, omegas = dense_stream_sketch_fused(slab, cores, right_cores)
+        psis, omegas = dense_stream_sketch_bisect(slab, cores, right_cores)
         # reduce Ψ_0 over its slab rows lazily outside; return everything
         return psis, omegas
 

@@ -8,6 +8,7 @@ from tt_sketch_tpu.engine.sketch import SketchedTensorTrain
 from tt_sketch_tpu.engine.sketch_container import SketchContainer
 from tt_sketch_tpu.formats import DenseTensor, TensorTrain
 from tt_sketch_tpu.kernels.dense_engine import (
+    dense_stream_sketch_bisect,
     dense_stream_sketch_fused,
     slab_stream_sketch,
 )
@@ -48,6 +49,59 @@ def test_slab_streaming_equals_full():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
     for a, b in zip(ref.Omega_mats, cont.Omega_mats):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_bisect_equals_generic_all_pivots():
+    X, ld, rd = _setup()
+    ref = general_sketch(X, ld, rd, SketchMethod.streaming)
+    for pivot in list(range(len(SHAPE) - 1)) + [None]:
+        psis, omegas = dense_stream_sketch_bisect(
+            X.data, ld.cores, rd.cores, pivot=pivot
+        )
+        for a, b in zip(ref.Psi_cores, psis):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-11
+            )
+        for a, b in zip(ref.Omega_mats, omegas):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-11
+            )
+
+
+def test_bisect_two_modes():
+    shape = (9, 11)
+    tt = TensorTrain.random(shape, 2, seed=3)
+    X = DenseTensor(tt.to_dense())
+    ld = TensorTrainDRM((3,), shape=shape, transpose=False, seed=1)
+    rd = TensorTrainDRM((5,), shape=shape, transpose=True, seed=2)
+    ref = general_sketch(X, ld, rd, SketchMethod.streaming)
+    psis, omegas = dense_stream_sketch_bisect(X.data, ld.cores, rd.cores)
+    for a, b in zip(ref.Psi_cores, psis):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    for a, b in zip(ref.Omega_mats, omegas):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_dual_project_interpret():
+    from tt_sketch_tpu.kernels.pallas_project import (
+        dual_project,
+        fits_dual_project,
+    )
+
+    rng = np.random.default_rng(0)
+    P, S, r, rho = 512, 2048, 32, 64
+    X = jnp.asarray(rng.normal(size=(P, S)), jnp.float32)
+    R = jnp.asarray(rng.normal(size=(S, rho)), jnp.float32)
+    L = jnp.asarray(rng.normal(size=(P, r)), jnp.float32)
+    assert fits_dual_project(P, S, r, rho)
+    T, U = dual_project(X, R, L, interpret=True)
+    T0, U0 = X @ R, L.T @ X
+    np.testing.assert_allclose(
+        np.asarray(T), np.asarray(T0), rtol=2e-5, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(U), np.asarray(U0), rtol=2e-5, atol=2e-4
+    )
 
 
 def test_fused_exact_recovery():

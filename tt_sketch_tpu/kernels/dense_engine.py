@@ -101,6 +101,159 @@ def dense_stream_sketch_fused(
     return Psi_cores, Omega_mats
 
 
+def prefix_chain_tensor(
+    left_cores: Sequence[jnp.ndarray], n_cores: int
+) -> jnp.ndarray:
+    """Materialize the left-DRM chain over modes ``0..n_cores-1``.
+
+    Returns ``L`` of shape ``(n_0, ..., n_{n_cores-1}, r_{n_cores})`` with
+    ``L[i_0..i_k, r] = (core_0[i_0] core_1[i_1] ⋯ core_{k}[i_k])[0, r]``.
+    Built from DRM cores alone (no tensor data) — O(prod(n)·r) memory.
+    """
+    L = left_cores[0][0]  # (n_0, r_1); leading rank of core 0 is 1
+    for k in range(1, n_cores):
+        # (..., a) x (a, n, b) -> (..., n, b)
+        L = jnp.einsum("...a,anb->...nb", L, left_cores[k])
+    return L
+
+
+def suffix_chain_tensor(
+    right_cores: Sequence[jnp.ndarray], n_cores: int
+) -> jnp.ndarray:
+    """Materialize the right-DRM chain over the LAST ``n_cores`` modes.
+
+    ``right_cores[k]`` covers original mode ``d-1-k`` (the right DRM is the
+    left DRM of the reversed tensor).  Returns ``R`` of shape
+    ``(n_{d-n_cores}, ..., n_{d-1}, ρ_{n_cores})`` — row-major flattening
+    matches ``X.reshape(-1, suffix_prod)`` columns.
+    """
+    R = right_cores[0][0]  # (n_{d-1}, ρ_1)
+    for k in range(1, n_cores):
+        # core: (a, n, b); R: (..., a) -> (n, ..., b)
+        R = jnp.einsum("anb,...a->n...b", right_cores[k], R)
+    return R
+
+
+def dense_stream_sketch_bisect(
+    X: jnp.ndarray,
+    left_cores: Sequence[jnp.ndarray],
+    right_cores: Sequence[jnp.ndarray],
+    pivot: Optional[int] = None,
+    projector: str = "xla",
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """All Ψ/Ω of dense ``X`` with exactly TWO full passes over ``X``.
+
+    The naive sweep schedule (``dense_stream_sketch_fused``) materializes an
+    X-sized intermediate in its backward sweep and re-reads X for the last
+    Ψ — ~5 X-sized HBM transfers.  This schedule picks a pivot mode ``p``,
+    precomputes the prefix chain ``L = core_0⋯core_p`` (shape
+    ``(n_0⋯n_p, r)``) and suffix chain ``R`` (shape ``(n_{p+1}⋯n_{d-1}, ρ)``)
+    from DRM cores alone, and touches ``X`` in exactly two GEMMs over the
+    same 2-D view ``X2d = X.reshape(n_0⋯n_p, n_{p+1}⋯n_{d-1})``:
+
+        T = X2d @ R      # (n_0..n_p, ρ)   — right sketch of the prefix
+        U = Lᵀ @ X2d     # (r, n_{p+1}..n_{d-1}) — left sketch of the suffix
+
+    T and U are tiny for a balanced pivot; every Ψ_μ/Ω_μ then follows by
+    cheap core contractions on T (μ ≤ p) or U (μ > p).  HBM traffic is
+    2·|X| + O(√|X|·r) versus the reference's O(|X|·r) DRM materialization
+    (drm/tensor_train_drm.py:109-122) and the sweep engine's ~5·|X|.
+
+    Numerically equal to the fused engine up to float summation order.
+    """
+    d = X.ndim
+    shape = X.shape
+    if d == 1:
+        raise ValueError("need at least 2 modes")
+
+    if pivot is None:
+        # balance the two GEMM output sizes: T = prod(n_0..n_p)·ρ,
+        # U = r·prod(n_{p+1}..) — pick the pivot minimizing their sum
+        best, pivot = None, 0
+        for p in range(d - 1):
+            pre = 1
+            for n in shape[: p + 1]:
+                pre *= n
+            suf = 1
+            for n in shape[p + 1:]:
+                suf *= n
+            r_l = left_cores[p].shape[2]
+            r_r = (
+                right_cores[d - 2 - p].shape[2]
+                if d - 2 - p >= 0
+                else 1
+            )
+            cost = pre * r_r + suf * r_l + pre * r_l + suf * r_r
+            if best is None or cost < best:
+                best, pivot = cost, p
+    p = pivot
+    if not 0 <= p <= d - 2:
+        raise ValueError(f"pivot must be in [0, {d-2}], got {p}")
+
+    prefix_prod = 1
+    for n in shape[: p + 1]:
+        prefix_prod *= n
+    X2d = X.reshape(prefix_prod, -1)
+
+    # Two passes over X — everything below operates on tiny tensors.
+    R = suffix_chain_tensor(right_cores, d - 1 - p)  # (n_{p+1}..n_{d-1}, ρ)
+    L = prefix_chain_tensor(left_cores, p + 1)  # (n_0..n_p, r_{p+1})
+    rho = R.shape[-1]
+    r_next = L.shape[-1]
+    if projector == "pallas":
+        # single HBM pass over X: both projections in one Pallas kernel
+        from tt_sketch_tpu.kernels.pallas_project import dual_project
+
+        T2, U2 = dual_project(
+            X2d, R.reshape(-1, rho), L.reshape(-1, r_next)
+        )
+        T = T2.reshape(shape[: p + 1] + (rho,))
+        U = U2.reshape((r_next,) + shape[p + 1:])
+    else:
+        T = (X2d @ R.reshape(-1, rho)).reshape(shape[: p + 1] + (rho,))
+        U = (L.reshape(-1, r_next).T @ X2d).reshape(
+            (r_next,) + shape[p + 1:]
+        )
+
+    Psi_cores: List[Optional[jnp.ndarray]] = [None] * d
+    Omega_mats: List[Optional[jnp.ndarray]] = [None] * (d - 1)
+
+    # --- prefix branch: T == right_states[p] of the sweep engine ---
+    right_states: List[Optional[jnp.ndarray]] = [None] * (p + 1)
+    right_states[p] = T
+    state = T
+    for k in range(d - 1 - p, d - 1):
+        state = _apply_core_right(state, right_cores[k])
+        right_states[d - 2 - k] = state
+    for mu in range(p + 1):
+        st = right_states[mu][None, ...]
+        for k in range(mu):
+            st = _apply_core_left(st, left_cores[k])
+        Psi_cores[mu] = st
+        Omega_mats[mu] = _apply_core_left(st, left_cores[mu])
+
+    # --- suffix branch: U = L_pᵀ X, modes p+1..d-1 ---
+    if p + 1 <= d - 2:
+        u_states: List[Optional[jnp.ndarray]] = [None] * (d - 1)
+        state = U[..., None]
+        for k in range(d - 2 - p):
+            state = _apply_core_right(state, right_cores[k])
+            u_states[d - 2 - k] = state
+        for mu in range(p + 1, d - 1):
+            st = u_states[mu]  # (r_{p+1}, n_{p+1}, ..., n_mu, ρ)
+            for k in range(p + 1, mu):
+                st = _apply_core_left(st, left_cores[k])
+            Psi_cores[mu] = st
+            Omega_mats[mu] = _apply_core_left(st, left_cores[mu])
+    # Ψ_{d-1}: finish the left chain on U
+    st = U
+    for k in range(p + 1, d - 1):
+        st = _apply_core_left(st, left_cores[k])
+    Psi_cores[d - 1] = st[..., None]
+
+    return Psi_cores, Omega_mats  # type: ignore[return-value]
+
+
 def dense_stream_sketch_container(
     X: jnp.ndarray,
     left_cores: Sequence[jnp.ndarray],
@@ -117,6 +270,7 @@ def slab_stream_sketch(
     left_cores: Sequence[jnp.ndarray],
     right_cores: Sequence[jnp.ndarray],
     dtype=jnp.float32,
+    engine: str = "bisect",
 ):
     """Stream a huge dense tensor through the sketch in mode-0 slabs.
 
@@ -130,11 +284,16 @@ def slab_stream_sketch(
     n0 = shape[0]
     slab_size = n0 // n_slabs
     assert slab_size * n_slabs == n0
+    engine_fn = (
+        dense_stream_sketch_bisect
+        if engine == "bisect"
+        else dense_stream_sketch_fused
+    )
 
     @jax.jit
     def sketch_one(slab, core0_slice):
         cores = [core0_slice] + [jnp.asarray(c) for c in left_cores[1:]]
-        return dense_stream_sketch_fused(slab, cores, right_cores)
+        return engine_fn(slab, cores, right_cores)
 
     psi0_rows = []
     acc_psis = None
