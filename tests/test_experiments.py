@@ -78,3 +78,59 @@ def test_driver_mini_sweep_and_resume(tmp_path):
     # resuming re-runs nothing and adds nothing
     exp2 = run_dimension_scaling(out=str(tmp_path), quick=True, progress=False)
     assert len(exp2.data) == n
+
+
+def test_driver_dimension_scaling_gaussian(tmp_path):
+    from tt_sketch_tpu.experiments.drivers import run_dimension_scaling_gaussian
+
+    exp = run_dimension_scaling_gaussian(
+        out=str(tmp_path), quick=True, progress=False
+    )
+    # 2 orders x (TT-SVD + 2 runs x {HMT, STTA})
+    assert len(exp.data) == 2 * (1 + 2 * 2)
+    assert (exp.data["error"] < 1e-2).all()
+    exp2 = run_dimension_scaling_gaussian(
+        out=str(tmp_path), quick=True, progress=False
+    )
+    assert len(exp2.data) == len(exp.data)
+
+
+def test_driver_timings_vs_error(tmp_path):
+    from tt_sketch_tpu.experiments.drivers import run_timings_vs_error
+
+    exp = run_timings_vs_error(out=str(tmp_path), quick=True, progress=False)
+    assert len(exp.data) == 12  # 2 ranks x 2 runs x 3 methods
+    assert set(exp.data["name"]) == {"OTTS", "STTA", "HMT"}
+    assert (exp.data["time_taken"] > 0).all()
+
+
+def test_driver_frostt_with_synthetic_cache(tmp_path):
+    import gzip
+
+    import numpy as np
+
+    from tt_sketch_tpu.experiments.drivers import run_frostt
+
+    # drop a tiny synthetic .tns.gz where the loader expects the real one
+    rng = np.random.default_rng(0)
+    shape = (183, 24, 1140, 1717)  # the registry shape for "uber"
+    nnz = 500
+    inds = np.stack([rng.integers(0, s, nnz) for s in shape])
+    vals = rng.normal(size=nnz)
+    lines = [
+        " ".join(str(i + 1) for i in inds[:, k]) + f" {float(vals[k])!r}\n"
+        for k in range(nnz)
+    ]
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    with gzip.open(cache / "uber.tns.gz", "wt") as fh:
+        fh.writelines(lines)
+
+    exp = run_frostt(
+        out=str(tmp_path), quick=True, progress=False,
+        names=["uber", "nips"], cache_dir=str(cache),
+    )
+    # nips skipped (not cached), uber: 1 rank x 1 run x {STTA, HMT}
+    assert len(exp.data) == 2
+    assert set(exp.data["dataset"]) == {"uber"}
+    assert (exp.data["error"] <= 1.5).all()

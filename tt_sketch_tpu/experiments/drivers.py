@@ -239,6 +239,127 @@ def run_recompression(out: str = "results", quick: bool = False, progress=True):
     return exp
 
 
+def run_dimension_scaling_gaussian(
+    out: str = "results", quick: bool = False, progress=True
+):
+    """Order scaling vs the Gaussian DRM: exp-decay-spectrum TTs at mode
+    size 5, orders 4-12, round rank 8 with x2 right oversampling
+    (plot_dimension_scaling_gaussian.py:19-102)."""
+    from tt_sketch_tpu.utils import process_tt_rank
+
+    n_dims_list = [4, 6] if quick else list(range(4, 13))
+    runs = range(2) if quick else range(30)
+    dim, tt_rank, round_rank = (4, 4, 3) if quick else (5, 10, 8)
+    exp = _exp(out, "dimension_scaling_gaussian")
+    for n_dims in _maybe_tqdm(n_dims_list, "order-scaling-gauss", progress):
+        tensor = problems.exp_decay_tt_problem(
+            n_dims, dim=dim, tt_rank=tt_rank, seed=179 + n_dims,
+            min_svdval=-5.0,
+        )
+        rr = process_tt_rank(round_rank, tensor.shape, trim=True)
+        exp.run(
+            tensor, "TT-SVD", tasks.experiment_tt_round,
+            rank=round_rank, n_dims=n_dims,
+        )
+        for run in runs:
+            exp.run(
+                tensor, "HMT", tasks.experiment_hmt_sketch,
+                drm_type=DenseGaussianDRM, rank=round_rank,
+                run=run, n_dims=n_dims, seed=_seed_for(n_dims, run, 13),
+            )
+            exp.run(
+                tensor, "STTA", tasks.experiment_stream_sketch,
+                left_drm_type=DenseGaussianDRM,
+                right_drm_type=DenseGaussianDRM,
+                left_rank=rr, right_rank=tuple(2 * r for r in rr),
+                run=run, n_dims=n_dims, seed=_seed_for(n_dims, run, 14),
+            )
+    return exp
+
+
+def run_timings_vs_error(
+    out: str = "results", quick: bool = False, progress=True
+):
+    """Error-vs-time frontier on a sum of 10 rank-100 TTs of shape
+    (1000,)^5: OTTS vs STTA vs HMT at ranks 5..24 with right oversampling
+    of +1 (plot_timings_vs_error.py:29-101)."""
+    if quick:
+        tensor = problems.timings_vs_error_problem(
+            dim=12, tt_rank=6, num_tts=3
+        )
+        ranks = [3, 5]
+        runs = range(2)
+    else:
+        tensor = problems.timings_vs_error_problem()
+        ranks = list(range(5, 25))
+        runs = range(10)
+    exp = _exp(out, "timings_vs_error")
+    grid = list(itertools.product(ranks, runs))
+    for rank, run in _maybe_tqdm(grid, "OTTS", progress):
+        exp.run(
+            tensor, "OTTS", tasks.experiment_orthogonal_sketch,
+            left_rank=rank, right_rank=rank + 1,
+            run=run, seed=_seed_for(rank, run, 15),
+        )
+    for rank, run in _maybe_tqdm(grid, "STTA", progress):
+        exp.run(
+            tensor, "STTA", tasks.experiment_stream_sketch,
+            left_rank=rank, right_rank=rank + 1,
+            run=run, seed=_seed_for(rank, run, 16),
+        )
+    for rank, run in _maybe_tqdm(grid, "HMT", progress):
+        exp.run(
+            tensor, "HMT", tasks.experiment_hmt_sketch,
+            rank=rank, run=run, seed=_seed_for(rank, run, 17),
+        )
+    return exp
+
+
+def run_frostt(
+    out: str = "results", quick: bool = False, progress=True,
+    names: Optional[Sequence[str]] = None, cache_dir: str = "data",
+):
+    """Sketch-and-sample-error on the FROSTT real-world sparse tensors
+    (reference scripts/frostt.py:100-118).  Tensors must be cached locally
+    (see data/frostt.py); missing ones are skipped with a notice so the
+    sweep is usable offline."""
+    from tt_sketch_tpu.data.frostt import (
+        FROSTT_TENSORS,
+        load_frostt,
+        sample_error,
+    )
+
+    if names is None:
+        names = sorted(FROSTT_TENSORS)
+    ranks = [5] if quick else [5, 10, 20, 40]
+    runs = range(1) if quick else range(5)
+    exp = _exp(out, "frostt")
+
+    def sample_error_func(tt, tensor):
+        return sample_error(tt, tensor, n_samples=10_000, seed=0)
+
+    for name in names:
+        try:
+            tensor = load_frostt(name, cache_dir=cache_dir, download=False)
+        except (FileNotFoundError, KeyError) as e:
+            print(f"[frostt] skipping {name!r}: {e}")
+            continue
+        grid = list(itertools.product(ranks, runs))
+        for rank, run in _maybe_tqdm(grid, f"frostt-{name}", progress):
+            exp.run(
+                tensor, "STTA", tasks.experiment_stream_sketch,
+                left_rank=rank, right_rank=2 * rank,
+                error_func=sample_error_func,
+                dataset=name, run=run, seed=_seed_for(rank, run, 18),
+            )
+            exp.run(
+                tensor, "HMT", tasks.experiment_hmt_sketch,
+                rank=rank, error_func=sample_error_func,
+                dataset=name, run=run, seed=_seed_for(rank, run, 19),
+            )
+    return exp
+
+
 def run_cookie(out: str = "results", quick: bool = False, progress=True):
     """TT-GMRES on the synthetic cookie problem: sketch vs pairwise
     rounding x max_rank sweep (do_cookie.py:22-58)."""
@@ -294,7 +415,10 @@ DRIVERS: Dict[str, object] = {
     "tt_plus_sparse": run_tt_plus_sparse,
     "cp": run_cp,
     "dimension_scaling": run_dimension_scaling,
+    "dimension_scaling_gaussian": run_dimension_scaling_gaussian,
     "timings": run_timings,
+    "timings_vs_error": run_timings_vs_error,
+    "frostt": run_frostt,
     "right_oversampling": run_right_oversampling,
     "recompression": run_recompression,
     "cookie": run_cookie,

@@ -98,10 +98,13 @@ _PLOT_CONFIG = {
     "cp_tensor": ("left_rank", "TT rank", False),
     "cp": ("left_rank", "TT rank", False),
     "dimension_scaling": ("order", "tensor order d", True),
+    "dimension_scaling_gaussian": ("n_dims", "tensor order d", True),
     "right_oversampling": ("right_rank", "right sketch rank", False),
     "recompression": ("left_rank", "sketch rank", False),
     "timings": (None, None, False),      # pareto
+    "timings_vs_error": (None, None, False),  # pareto
     "cookie": (None, None, False),       # pareto
+    "frostt": ("left_rank", "TT rank", False),
 }
 
 

@@ -108,3 +108,54 @@ def dense_random_problem(
     """Large dense random tensor for wall-time benchmarks
     (plot_timings.py:28-36 uses shape (100,)^5)."""
     return DenseTensor.random((dim,) * n_dims, seed=seed, dtype=dtype)
+
+
+def exp_decay_tt_problem(
+    n_dims: int,
+    dim: int = 5,
+    tt_rank: int = 10,
+    seed: int = 179,
+    min_svdval: float = -5.0,
+) -> TensorTrain:
+    """Exp-decay-spectrum TT for the Gaussian-DRM order-scaling sweep
+    (plot_dimension_scaling_gaussian.py:27-63): orthogonal random TT whose
+    per-core unfolding spectra are replaced by
+    ``logspace(0, min_svdval) * sqrt(min_dim)``, then re-orthogonalized."""
+    import jax.numpy as jnp
+
+    tt = TensorTrain.random(
+        (dim,) * n_dims, rank=tt_rank, orthog=True, trim=True, seed=seed
+    )
+    new_cores = []
+    for core in tt.cores:
+        C = np.asarray(core, np.float64)
+        r1, n, r2 = C.shape
+        left_shape = (r1 * n, r2)
+        right_shape = (r1, n * r2)
+        mat_shape = (
+            left_shape if min(left_shape) > min(right_shape) else right_shape
+        )
+        M = C.reshape(mat_shape)
+        U, S, Vt = np.linalg.svd(M, full_matrices=False)
+        S_new = np.logspace(0.0, min_svdval, len(S)) * np.sqrt(min(mat_shape))
+        new_cores.append(jnp.asarray((U * S_new) @ Vt).reshape(r1, n, r2))
+    return TensorTrain(new_cores).orthogonalize()
+
+
+def timings_vs_error_problem(
+    n_dims: int = 5,
+    dim: int = 1000,
+    tt_rank: int = 100,
+    num_tts: int = 10,
+    seed: int = 179,
+) -> TensorSum:
+    """Sum of 10 random rank-100 TTs, shape (1000,)^5 with coefficients
+    decaying 1 → 1e-10 (plot_timings_vs_error.py:30-44)."""
+    return tt_sum_problem(
+        n_dims=n_dims,
+        dim=dim,
+        tt_rank=tt_rank,
+        num_tts=num_tts,
+        coeff_decay=-10.0,
+        seed=seed,
+    )
