@@ -282,7 +282,13 @@ def run_timings_vs_error(
 ):
     """Error-vs-time frontier on a sum of 10 rank-100 TTs of shape
     (1000,)^5: OTTS vs STTA vs HMT at ranks 5..24 with right oversampling
-    of +1 (plot_timings_vs_error.py:29-101)."""
+    of +1 (plot_timings_vs_error.py:29-101).
+
+    Deviation from the reference script: it calls ``error(fast=False)``,
+    which densifies the tensor — impossible at 10^15 entries (the script
+    is exploratory in the reference).  Here the error is the exact TT
+    inner-product identity with the tensor's Gram data computed once per
+    sweep instead of once per run."""
     if quick:
         tensor = problems.timings_vs_error_problem(
             dim=12, tt_rank=6, num_tts=3
@@ -294,23 +300,40 @@ def run_timings_vs_error(
         ranks = list(range(5, 25))
         runs = range(10)
     exp = _exp(out, "timings_vs_error")
+
+    import numpy as _np
+
+    cache = {}
+
+    def fast_error_func(tt, tensor_):
+        # |tt - b| / |b| with <b,b> computed once for the whole sweep
+        if "b2" not in cache:
+            cache["b2"] = float(tensor_.norm()) ** 2
+        a2 = float(tt.norm()) ** 2
+        ab = float(tt.dot(tensor_))
+        b2 = cache["b2"]
+        return float(_np.sqrt(max(a2 + b2 - 2.0 * ab, 0.0)) / _np.sqrt(b2))
+
     grid = list(itertools.product(ranks, runs))
     for rank, run in _maybe_tqdm(grid, "OTTS", progress):
         exp.run(
             tensor, "OTTS", tasks.experiment_orthogonal_sketch,
             left_rank=rank, right_rank=rank + 1,
+            error_func=fast_error_func,
             run=run, seed=_seed_for(rank, run, 15),
         )
     for rank, run in _maybe_tqdm(grid, "STTA", progress):
         exp.run(
             tensor, "STTA", tasks.experiment_stream_sketch,
             left_rank=rank, right_rank=rank + 1,
+            error_func=fast_error_func,
             run=run, seed=_seed_for(rank, run, 16),
         )
     for rank, run in _maybe_tqdm(grid, "HMT", progress):
         exp.run(
             tensor, "HMT", tasks.experiment_hmt_sketch,
-            rank=rank, run=run, seed=_seed_for(rank, run, 17),
+            rank=rank, error_func=fast_error_func,
+            run=run, seed=_seed_for(rank, run, 17),
         )
     return exp
 
