@@ -224,13 +224,13 @@ def sharded_dense_stream_sketch(
 ) -> SketchedTensorTrain:
     """Streaming sketch of a dense tensor sharded in mode-0 slabs.
 
-    Each device runs the fused O(N)-memory dense engine on its slab against
+    Each device runs the bisected two-GEMM dense engine on its slab against
     the TT-DRM chains (its slab's rows of the mode-0 left core selected by
     ``axis_index``); by linearity the partial containers psum to the
     single-chip result.  Mode 0 must be divisible by the data-axis size.
     """
     from tt_sketch_tpu.config import DEFAULT_DTYPE
-    from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_fused
+    from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_bisect
 
     dtype = dtype or DEFAULT_DTYPE
     shape = tuple(int(s) for s in X.shape)
@@ -263,7 +263,7 @@ def sharded_dense_stream_sketch(
         core0 = jax.lax.dynamic_slice_in_dim(
             left_cores[0], i * slab, slab, axis=1
         )
-        psis, omegas = dense_stream_sketch_fused(
+        psis, omegas = dense_stream_sketch_bisect(
             x_slab.astype(dtype), [core0] + left_cores[1:], right_cores
         )
         # Ψ_0 rows belong to this slab only: place at the slab offset.
