@@ -84,3 +84,49 @@ def test_wrong_kind_errors(tmp_path):
     ser.save_tt(tmp_path / "x.npz", tt)
     with pytest.raises(ValueError, match="not a sketch checkpoint"):
         ser.load_sketch(tmp_path / "x.npz")
+
+
+def test_streaming_session_crash_resume(tmp_path):
+    """Resume from checkpoint == uninterrupted run, bit-for-bit."""
+    import numpy as np
+
+    from tt_sketch_tpu import stream_sketch
+    from tt_sketch_tpu.formats import SparseTensor
+    from tt_sketch_tpu.streaming import StreamingSketchSession
+
+    shape = (8, 9, 10, 7)
+    rng = np.random.default_rng(0)
+    nnz = 400
+    X = SparseTensor(
+        shape,
+        np.stack([rng.integers(0, s, nnz) for s in shape]),
+        rng.standard_normal(nnz),
+    )
+    pieces = X.split(5).tensors
+
+    s1 = StreamingSketchSession(shape, 6, 12, seed=3)
+    for p in pieces:
+        s1.consume(p)
+    tt1 = s1.result().to_tt()
+
+    ck = tmp_path / "stream.npz"
+    s2 = StreamingSketchSession(
+        shape, 6, 12, seed=3, checkpoint_path=ck, checkpoint_every=1
+    )
+    for p in pieces[:2]:
+        s2.consume(p)
+    del s2  # simulated crash — the checkpoint is the only survivor
+
+    s3 = StreamingSketchSession.resume(ck)
+    assert s3.n_consumed == 2
+    for p in pieces[s3.n_consumed:]:
+        s3.consume(p)
+    tt3 = s3.result().to_tt()
+
+    for a, b in zip(tt1.cores, tt3.cores):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the session equals sketching the whole tensor at once
+    ttX = stream_sketch(X, 6, 12, seed=3).to_tt()
+    for a, b in zip(tt1.cores, ttX.cores):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)

@@ -59,6 +59,7 @@ def __getattr__(name):
         "TTPrecond": "tt_sketch_tpu.solvers.tt_gmres",
         "round_tt_sum": "tt_sketch_tpu.solvers.tt_gmres",
         "tt_sum_gmres": "tt_sketch_tpu.solvers.tt_gmres",
+        "StreamingSketchSession": "tt_sketch_tpu.streaming",
         "save_sketch": "tt_sketch_tpu.serialization",
         "load_sketch": "tt_sketch_tpu.serialization",
         "save_tt": "tt_sketch_tpu.serialization",

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Union
+from typing import Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
@@ -80,8 +80,17 @@ def _drm_from_meta(meta: dict):
     return drm
 
 
-def save_sketch(path: Union[str, Path], sketched: SketchedTensorTrain) -> None:
-    """Write a resumable checkpoint of a ``SketchedTensorTrain``."""
+def save_sketch(
+    path: Union[str, Path],
+    sketched: SketchedTensorTrain,
+    extra: Optional[dict] = None,
+) -> None:
+    """Write a resumable checkpoint of a ``SketchedTensorTrain``.
+
+    The write is atomic (tmp file + rename) so a crash mid-checkpoint never
+    corrupts the previous one.  ``extra`` is a JSON-able dict stored in the
+    metadata header (used by ``StreamingSketchSession`` for its progress
+    cursor)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     meta = {
@@ -91,17 +100,26 @@ def save_sketch(path: Union[str, Path], sketched: SketchedTensorTrain) -> None:
         "left_drm": _drm_meta(sketched.left_drm),
         "right_drm": _drm_meta(sketched.right_drm),
     }
+    if extra is not None:
+        meta["extra"] = extra
     arrays = {"meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)}
     for i, P in enumerate(sketched.sketch_.Psi_cores):
         arrays[f"Psi_{i}"] = np.asarray(P)
     for i, O in enumerate(sketched.sketch_.Omega_mats):
         arrays[f"Omega_{i}"] = np.asarray(O)
-    np.savez(path, **arrays)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    tmp.replace(path)
 
 
-def load_sketch(path: Union[str, Path]) -> SketchedTensorTrain:
+def load_sketch(
+    path: Union[str, Path], with_extra: bool = False
+) -> SketchedTensorTrain:
     """Rebuild a ``SketchedTensorTrain`` from a checkpoint; the DRMs are
-    regenerated from their metadata (exact, seed-deterministic)."""
+    regenerated from their metadata (exact, seed-deterministic).
+
+    ``with_extra=True`` returns ``(sketched, extra_dict)``."""
     with np.load(Path(path)) as data:
         meta = json.loads(bytes(data["meta"]).decode())
         if meta.get("kind") != "sketched_tt":
@@ -119,7 +137,10 @@ def load_sketch(path: Union[str, Path]) -> SketchedTensorTrain:
     sketch = SketchContainer(Psi, Omega)
     left = _drm_from_meta(meta["left_drm"])
     right = _drm_from_meta(meta["right_drm"])
-    return SketchedTensorTrain(sketch, left, right)
+    sketched = SketchedTensorTrain(sketch, left, right)
+    if with_extra:
+        return sketched, meta.get("extra", {})
+    return sketched
 
 
 def save_tt(path: Union[str, Path], tt: TensorTrain) -> None:
