@@ -182,17 +182,22 @@ def uniform_stream_sketch_stacked(X, Y, Z):
 
 @partial(jax.jit, static_argnames=("direction",))
 def uniform_assemble(Psis, Omegas, direction: str = "right"):
-    """Recover stacked TT cores from stacked Ψ/Ω via batched lstsq."""
+    """Recover stacked TT cores from stacked Ψ/Ω via batched lstsq.
+
+    Uses the backend-adaptive solve from ``utils`` (LAPACK on CPU, Jacobi
+    SVD on TPU — the TPU backend SVD inverts noise on ill-conditioned Ω)."""
+    from tt_sketch_tpu.utils import _lstsq
+
     Psi_first, Psi_int, Psi_last = Psis
 
     def solve_right(Psi, Omega):
         r1, n, r2 = Psi.shape
-        sol = jnp.linalg.lstsq(Omega.T, Psi.reshape(r1 * n, r2).T)[0]
+        sol = _lstsq(Omega.T, Psi.reshape(r1 * n, r2).T)
         return sol.T.reshape(r1, n, Omega.shape[0])
 
     def solve_left(Omega, Psi):
         r1, n, r2 = Psi.shape
-        sol = jnp.linalg.lstsq(Omega, Psi.reshape(r1, n * r2))[0]
+        sol = _lstsq(Omega, Psi.reshape(r1, n * r2))
         return sol.reshape(Omega.shape[1], n, r2)
 
     if direction == "right":
@@ -287,16 +292,16 @@ def uniform_round_fixed(first, interior, last, max_rank: int):
         )
 
     # last core: (r, n, 1) -> svd of (r, n)
-    U, S, Vt = jnp.linalg.svd(last.reshape(last.shape[0], n), full_matrices=False)
+    from tt_sketch_tpu.kernels.accurate_linalg import svd as _svd
+
+    U, S, Vt = _svd(last.reshape(last.shape[0], n))
     last_new = Vt[:k, :].reshape(k, n, 1)
     US = U[:, :k] * S[None, :k]  # (r, k)
 
     def step(US, C):
         # C: (r, n, r) · US (r, k) -> svd of (r, n*k)
         C = jnp.einsum("ijk,kl->ijl", C, US)
-        U, S, Vt = jnp.linalg.svd(
-            C.reshape(C.shape[0], -1), full_matrices=False
-        )
+        U, S, Vt = _svd(C.reshape(C.shape[0], -1))
         core = Vt[:k, :].reshape(k, C.shape[1], C.shape[2])
         return U[:, :k] * S[None, :k], core
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
+
+from tt_sketch_tpu.kernels.accurate_linalg import svd as _bsvd
 import numpy as np
 
 from tt_sketch_tpu.utils import process_tt_rank
@@ -101,7 +103,7 @@ def tt_round(
             C = jnp.einsum("ijk,kl->ijl", C, US_trunc)
         if mu > 0:
             mat = C.reshape(C.shape[0], C.shape[1] * C.shape[2])
-            U, S, Vt = jnp.linalg.svd(mat, full_matrices=False)
+            U, S, Vt = _bsvd(mat)
             # data-dependent rank: decide on the host (S is small: len ≤ r)
             S_host = np.asarray(S)
             thresh = int(np.sum(S_host > S_host[0] * eps))
@@ -131,7 +133,7 @@ def tt_round_fixed_rank(
             C = jnp.einsum("ijk,kl->ijl", C, US_trunc)
         if mu > 0:
             mat = C.reshape(C.shape[0], C.shape[1] * C.shape[2])
-            U, S, Vt = jnp.linalg.svd(mat, full_matrices=False)
+            U, S, Vt = _bsvd(mat)
             r = min(int(mat.shape[0]), int(mat.shape[1]), max_rank[mu - 1])
             US_trunc = U[:, :r] * S[:r][None, :]
             new_cores.append(Vt[:r, :].reshape(r, C.shape[1], C.shape[2]))
@@ -154,7 +156,7 @@ def tt_svdvals(cores: Sequence[jnp.ndarray]) -> List[np.ndarray]:
             mat = C.reshape(C.shape[0], C.shape[1] * C.shape[2])
         else:
             mat = C.reshape(C.shape[0] * C.shape[1], C.shape[2])
-        U, S, _ = jnp.linalg.svd(mat, full_matrices=False)
+        U, S, _ = _bsvd(mat)
         out.append(np.asarray(S))
     return out[::-1]
 

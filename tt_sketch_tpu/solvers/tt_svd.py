@@ -9,6 +9,8 @@ from __future__ import annotations
 from typing import Optional
 
 import jax.numpy as jnp
+
+from tt_sketch_tpu.kernels.accurate_linalg import svd as _bsvd
 import numpy as np
 
 from tt_sketch_tpu.formats.tensor_train import TensorTrain
@@ -27,7 +29,7 @@ def tt_svd(tensor, rank: Optional[TTRank] = None) -> TensorTrain:
     cores = []
 
     mat = matricize(X, 0)
-    U, S, V = jnp.linalg.svd(mat, full_matrices=False)
+    U, S, V = _bsvd(mat)
     r = max(min(int(U.shape[1]), new_rank[0]), 1)
     new_rank[0] = r
     cores.append(U[:, :r].reshape(1, shape[0], r))
@@ -35,7 +37,7 @@ def tt_svd(tensor, rank: Optional[TTRank] = None) -> TensorTrain:
 
     for mu in range(1, d - 1):
         mat = matricize(compressed, (0, 1), mat_shape=True)
-        U, S, V = jnp.linalg.svd(mat, full_matrices=False)
+        U, S, V = _bsvd(mat)
         r = max(min(int(U.shape[1]), new_rank[mu]), 1)
         new_rank[mu] = r
         cores.append(U[:, :r].reshape(new_rank[mu - 1], shape[mu], r))

@@ -62,18 +62,32 @@ def dematricize(A, mode: int, shape: Tuple[int, ...]):
 
 
 # ---------------------------------------------------------------------------
-# Stable pseudo-inverse products (lstsq-based, like the reference)
+# Stable pseudo-inverse products (lstsq-based, like the reference
+# utils.py:98-109).  On CPU this is LAPACK lstsq; on TPU the backend SVD
+# cannot resolve singular values below ~1e-6·σ_max (measured on v5e), so
+# ill-conditioned Ω would have noise directions inverted — there the solve
+# routes through the high-accuracy Jacobi SVD in kernels/accurate_linalg.
 # ---------------------------------------------------------------------------
+
+def _lstsq(A, B, rcond: Optional[float] = None):
+    import jax
+
+    if jax.default_backend() != "cpu" and min(A.shape) > 1:
+        from tt_sketch_tpu.kernels.accurate_linalg import accurate_lstsq
+
+        return accurate_lstsq(A, B, rcond=rcond)
+    return jnp.linalg.lstsq(A, B, rcond=rcond)[0]
+
 
 def right_mul_pinv(A, B, rcond: Optional[float] = None):
     """Numerically stable ``A @ pinv(B)`` via least squares."""
-    sol = jnp.linalg.lstsq(B.T, A.T, rcond=rcond)[0]
+    sol = _lstsq(B.T, A.T, rcond=rcond)
     return sol.T
 
 
 def left_mul_pinv(A, B, rcond: Optional[float] = None):
     """Numerically stable ``pinv(A) @ B`` via least squares."""
-    return jnp.linalg.lstsq(A, B, rcond=rcond)[0]
+    return _lstsq(A, B, rcond=rcond)
 
 
 def projector(X, Y=None):
