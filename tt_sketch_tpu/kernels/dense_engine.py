@@ -200,12 +200,18 @@ def dense_stream_sketch_bisect(
     L = prefix_chain_tensor(left_cores, p + 1)  # (n_0..n_p, r_{p+1})
     rho = R.shape[-1]
     r_next = L.shape[-1]
-    if projector == "pallas":
-        # single HBM pass over X: both projections in one Pallas kernel
+    if projector.startswith("pallas"):
+        # single HBM pass over X: both projections in one Pallas kernel;
+        # "pallas_bf16" additionally casts MXU inputs to bf16 in VMEM
+        # (f32 accumulate) — the throughput mode (see pallas_project.py)
         from tt_sketch_tpu.kernels.pallas_project import dual_project
 
+        mxu_dtype = (
+            jnp.bfloat16 if projector == "pallas_bf16" else jnp.float32
+        )
         T2, U2 = dual_project(
-            X2d, R.reshape(-1, rho), L.reshape(-1, r_next)
+            X2d, R.reshape(-1, rho), L.reshape(-1, r_next),
+            mxu_dtype=mxu_dtype,
         )
         T = T2.reshape(shape[: p + 1] + (rho,))
         U = U2.reshape((r_next,) + shape[p + 1:])

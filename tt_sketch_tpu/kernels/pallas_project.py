@@ -21,8 +21,23 @@ streams at memory-bandwidth speed.  This replaces the role of the
 reference's materialized per-mode DRM matrices + numpy GEMMs
 (drm/tensor_train_drm.py:109-122, sketching_methods/dense_sketch.py:7-16).
 
-Constraint: U (= r·S floats) must fit in a VMEM scratch; callers fall back
-to the two-GEMM XLA path otherwise (see ``fits_dual_project``).
+Schedule: grid ``(j, i)`` with ``i`` (rows of X) innermost.  U's output
+block (r, BN) has index map ``j`` — constant across the inner sweep — so
+Mosaic keeps it VMEM-resident, the kernel accumulates it in place over
+consecutively-revisited steps (the canonical Pallas matmul-accumulation
+pattern), and it is flushed to HBM exactly once per ``j``.  T needs
+accumulation over ``j`` (the outer dim, non-consecutive revisits), so the
+kernel instead writes disjoint per-``j`` partials ``(n_j, P, ρ)`` — each
+block written exactly once — and one XLA sum over axis 0 finishes T.
+Extra traffic: ``n_j·|T|`` written + read back, a few % of |X|.
+
+``mxu_dtype=bfloat16`` casts the VMEM-resident X block (and L/R) to bf16
+before the two MXU contractions while accumulating in f32.  f32 sketching
+at rank 32/64 demands ~48 flop/byte — above the v5e's f32 MXU roofline at
+HBM speed — so the f32 path is compute-bound; bf16 inputs double MXU
+throughput and put the kernel back at memory-bandwidth speed.  Randomized
+sketches are robust to this: the DRM is noise by construction, and the
+recovery lstsq runs in f32/f64 either way.  Parity/accuracy paths use f32.
 """
 from __future__ import annotations
 
@@ -41,63 +56,51 @@ def _i32(v: int):
     return jnp.asarray(v, jnp.int32)
 
 
-_U_SCRATCH_BYTES = 4 * 1024 * 1024  # VMEM budget for the U accumulator
-
-
 def fits_dual_project(P: int, S: int, r: int, rho: int, itemsize: int = 4,
-                      block_m: int = 256, block_n: int = 1024) -> bool:
+                      block_m: int = 256, block_n: int = 2048) -> bool:
     """Whether the one-pass kernel applies to this projection problem."""
     if P % block_m or S % block_n:
-        return False
-    if r * S * itemsize > _U_SCRATCH_BYTES:
         return False
     # tiny ranks still work (blocks are padded by Mosaic), but degenerate
     # shapes aren't worth a custom kernel
     return P >= block_m and S >= block_n and r >= 1 and rho >= 1
 
 
-def _dual_project_kernel(x_ref, r_ref, l_ref, t_ref, u_ref, u_acc):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    n_i = pl.num_programs(0)
-    x_blk = x_ref[:]  # (BM, BN)
+def _dual_project_kernel(x_ref, r_ref, l_ref, t_ref, u_ref, *, mxu_dtype):
+    i = pl.program_id(1)  # inner: rows of X
+    x_blk = x_ref[:].astype(mxu_dtype)  # (BM, BN), VMEM-resident cast
 
-    @pl.when(j == 0)
-    def _():
-        t_ref[:] = jnp.zeros_like(t_ref)
-
-    t_ref[:] += jnp.dot(
-        x_blk, r_ref[:], preferred_element_type=jnp.float32
+    # T partial for this (j, i): written exactly once per grid step.
+    t_ref[0] = jnp.dot(
+        x_blk, r_ref[:].astype(mxu_dtype),
+        preferred_element_type=jnp.float32,
     )
 
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    # U block (r, BN) has index map j (outer) — constant over the inner i
+    # sweep, so it stays VMEM-resident and accumulates across consecutive
+    # revisits; Lᵀ @ X_blk without materializing the transpose.
+    @pl.when(i == 0)
     def _():
-        u_acc[:] = jnp.zeros_like(u_acc)
+        u_ref[:] = jnp.zeros_like(u_ref)
 
-    bn = x_blk.shape[1]
-    # Lᵀ @ X_blk without materializing the transpose
-    contrib = jax.lax.dot_general(
-        l_ref[:], x_blk,
+    u_ref[:] += jax.lax.dot_general(
+        l_ref[:].astype(mxu_dtype), x_blk,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (r, BN)
-    col = pl.multiple_of(j * bn, bn)
-    u_acc[:, pl.ds(col, bn)] += contrib
-
-    @pl.when(i == n_i - 1)
-    def _():
-        u_ref[:] = u_acc[:, pl.ds(col, bn)]
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("block_m", "block_n", "mxu_dtype", "interpret"),
 )
-def dual_project(X2d, R, L, *, block_m: int = 256, block_n: int = 1024,
-                 interpret: bool = False):
+def dual_project(X2d, R, L, *, block_m: int = 256, block_n: int = 2048,
+                 mxu_dtype=jnp.float32, interpret: bool = False):
     """Return ``(X2d @ R, Lᵀ @ X2d)`` with one HBM pass over ``X2d``.
 
-    X2d: (P, S); R: (S, ρ); L: (P, r) — float32.  Requires
-    ``fits_dual_project(P, S, r, ρ)``.
+    X2d: (P, S); R: (S, ρ); L: (P, r) — float32 in HBM.  Requires
+    ``fits_dual_project(P, S, r, ρ)``.  ``mxu_dtype=jnp.bfloat16`` halves
+    MXU time (f32 accumulate) for the throughput path.
     """
     P, S = X2d.shape
     rho = R.shape[1]
@@ -111,32 +114,39 @@ def dual_project(X2d, R, L, *, block_m: int = 256, block_n: int = 1024,
     R = R.astype(dtype)
     L = L.astype(dtype)
 
-    grid = (P // block_m, S // block_n)
-    T, U = pl.pallas_call(
-        _dual_project_kernel,
-        grid=grid,
+    n_j = S // block_n
+    n_i = P // block_m
+    kernel = functools.partial(_dual_project_kernel, mxu_dtype=mxu_dtype)
+    T_partial, U = pl.pallas_call(
+        kernel,
+        grid=(n_j, n_i),
         in_specs=[
-            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+            pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, rho), lambda i, j: (j, _i32(0)),
+            pl.BlockSpec((block_n, rho), lambda j, i: (j, _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, r), lambda i, j: (i, _i32(0)),
+            pl.BlockSpec((block_m, r), lambda j, i: (i, _i32(0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_m, rho), lambda i, j: (i, _i32(0)),
+            pl.BlockSpec((1, block_m, rho), lambda j, i: (j, i, _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, block_n), lambda i, j: (_i32(0), j),
+            pl.BlockSpec((r, block_n), lambda j, i: (_i32(0), j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P, rho), dtype),
+            jax.ShapeDtypeStruct((n_j, P, rho), dtype),
             jax.ShapeDtypeStruct((r, S), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((r, S), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * S * (rho + r),
+            bytes_accessed=4 * (P * S + S * rho + P * r
+                                + n_j * P * rho + r * S),
+            transcendentals=0,
+        ),
         interpret=interpret,
     )(X2d, R, L)
-    return T, U
+    return T_partial.sum(axis=0), U
