@@ -1,9 +1,16 @@
 """Headline benchmark: STTA streaming-sketch throughput per chip.
 
 Streams a 10^10-entry synthetic dense tensor (the BASELINE.json target
-config) through the bisected slab sketch engine (mode-0 slabs, linearity;
-two GEMMs per slab — see kernels/dense_engine.py) with TT-DRMs of rank
-32/64 in float32, and reports sustained GB/s per chip.
+config) through the one-pass dual-projection sketch engine (mode-0 slabs,
+linearity; both DRM projections in a single HBM pass per slab — see
+kernels/pallas_project.py) with TT-DRMs of rank 32/64 in float32, and
+reports sustained GB/s per chip.
+
+Timing is readback-fenced: on the tunneled TPU backend
+``jax.block_until_ready`` can return before device execution completes,
+so each measurement ends with a device→host scalar readback (device
+execution is in-order, so reading the last result fences every queued
+slab), and the separately-measured readback latency is subtracted.
 
 Baseline target (BASELINE.md): >= 1 GB/s/chip.  Prints exactly one JSON
 line: {"metric", "value", "unit", "vs_baseline"}.
@@ -23,9 +30,7 @@ def main():
     from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_bisect
 
     dtype = jnp.float32
-    # slab shape (256, 128, 128, 128) = 5.37e8 entries = 2.15 GB f32;
-    # larger slabs amortize per-dispatch overhead (measured on v5e: sweep
-    # engine 110 GB/s at 256 rows; bisect engine 231 GB/s)
+    # slab shape (256, 128, 128, 128) = 5.37e8 entries = 2.15 GB f32
     slab_shape = (256, 128, 128, 128)
     n_slabs = 19  # total 256*19 x 128^3 ≈ 1.020e10 entries ≈ 40.8 GB
     shape = (slab_shape[0] * n_slabs,) + slab_shape[1:]
@@ -43,8 +48,11 @@ def main():
     @jax.jit
     def sketch_slab(slab, core0_slice):
         cores = [core0_slice] + left_rest
-        psis, omegas = dense_stream_sketch_bisect(slab, cores, right_cores)
-        # reduce Ψ_0 over its slab rows lazily outside; return everything
+        psis, omegas = dense_stream_sketch_bisect(
+            slab, cores, right_cores, projector="auto"
+        )
+        # containers are tiny; sum Psi_0 over slab rows so the fence value
+        # depends on the whole computation
         return psis, omegas
 
     key = jax.random.PRNGKey(0)
@@ -52,26 +60,43 @@ def main():
     core0 = jnp.asarray(left_drm.cores[0], dtype)
     slab_size = slab_shape[0]
 
-    # warmup / compile
-    out = sketch_slab(slab, core0[:, :slab_size, :])
-    jax.block_until_ready(out)
+    fence = jax.jit(lambda psis: jnp.sum(psis[-1]))
 
+    # warmup / compile / tunnel to-host warmup (first readback can be slow)
+    out = sketch_slab(slab, core0[:, :slab_size, :])
     t0 = time.perf_counter()
-    acc = None
-    for i in range(n_slabs):
-        sl = core0[:, i * slab_size: (i + 1) * slab_size, :]
-        out = sketch_slab(slab, sl)
-        acc = out  # keep the dependency; containers are tiny
-    jax.block_until_ready(acc)
-    elapsed = time.perf_counter() - t0
+    _ = float(fence(out[0]))
+    print(f"# first readback {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # fence cost: readback of an already-computed scalar-sized array
+    ready = fence(out[0])
+    ready.block_until_ready()
+    fence_costs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(fence(out[0]))
+        fence_costs.append(time.perf_counter() - t0)
+    fence_cost = float(np.median(fence_costs))
+    print(f"# fence cost {fence_cost*1e3:.1f} ms", file=sys.stderr)
+
+    reps = 3
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        for i in range(n_slabs):
+            sl = core0[:, i * slab_size: (i + 1) * slab_size, :]
+            out = sketch_slab(slab, sl)
+    _ = float(fence(out[0]))  # in-order execution fences all slabs
+    elapsed = time.perf_counter() - t0 - fence_cost
+    elapsed /= reps
 
     total_bytes = n_slabs * np.prod(slab_shape) * 4
     gbps = total_bytes / elapsed / 1e9
     entries_per_s = n_slabs * float(np.prod(slab_shape)) / elapsed
 
     print(
-        f"# streamed {total_bytes/1e9:.1f} GB ({n_slabs} slabs) in "
-        f"{elapsed:.2f}s on {jax.devices()[0].device_kind}; "
+        f"# streamed {total_bytes/1e9:.1f} GB ({n_slabs} slabs) x {reps} in "
+        f"{elapsed:.2f}s/rep on {jax.devices()[0].device_kind}; "
         f"{entries_per_s:.3e} entries/s",
         file=sys.stderr,
     )
