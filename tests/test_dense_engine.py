@@ -89,19 +89,51 @@ def test_dual_project_interpret():
     )
 
     rng = np.random.default_rng(0)
-    P, S, r, rho = 512, 2048, 32, 64
+    # S = 2 * block_n so n_j >= 2: exercises the per-j T-partials sum and
+    # the U re-zero on the j transition (degenerate at n_j = 1)
+    P, S, r, rho = 512, 4096, 32, 64
     X = jnp.asarray(rng.normal(size=(P, S)), jnp.float32)
     R = jnp.asarray(rng.normal(size=(S, rho)), jnp.float32)
     L = jnp.asarray(rng.normal(size=(P, r)), jnp.float32)
     assert fits_dual_project(P, S, r, rho)
-    T, U = dual_project(X, R, L, interpret=True)
     T0, U0 = X @ R, L.T @ X
-    np.testing.assert_allclose(
-        np.asarray(T), np.asarray(T0), rtol=2e-5, atol=2e-4
+    for block_m, block_n in ((256, 2048), (512, 1024)):
+        T, U = dual_project(
+            X, R, L, block_m=block_m, block_n=block_n, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(T), np.asarray(T0), rtol=2e-5, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(U), np.asarray(U0), rtol=2e-5, atol=2e-4
+        )
+
+
+def test_bisect_2d_view():
+    import pytest
+
+    X, ld, rd = _setup()
+    ref = general_sketch(X, ld, rd, SketchMethod.streaming)
+    pivot = 1
+    pre = SHAPE[0] * SHAPE[1]
+    X2d = X.data.reshape(pre, -1)
+    psis, omegas = dense_stream_sketch_bisect(
+        X2d, ld.cores, rd.cores, pivot=pivot, shape=SHAPE
     )
-    np.testing.assert_allclose(
-        np.asarray(U), np.asarray(U0), rtol=2e-5, atol=2e-4
-    )
+    for a, b in zip(ref.Psi_cores, psis):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    for a, b in zip(ref.Omega_mats, omegas):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    # wrong pivot flattening must be rejected, not silently reinterpreted
+    with pytest.raises(ValueError, match="flattening"):
+        dense_stream_sketch_bisect(
+            X.data.reshape(SHAPE[0], -1), ld.cores, rd.cores,
+            pivot=pivot, shape=SHAPE,
+        )
+    with pytest.raises(ValueError, match="pivot"):
+        dense_stream_sketch_bisect(
+            X2d, ld.cores, rd.cores, shape=SHAPE
+        )
 
 
 def test_fused_exact_recovery():

@@ -137,3 +137,36 @@ def test_uniform_large_order_smoke():
     tt = make_uniform_tt(d=256, n=4, rank=3, seed=11)
     rec, _ = uniform_stream_sketch(tt, 3, 6, seed=14)
     assert rec.error(tt, relative=True) < 1e-7
+
+
+def test_uniform_engine_container_matches_generic():
+    """With injected DRM cores, the uniform scan engine reproduces the
+    generic engine's (Ψ, Ω) container bit-for-bit up to float order
+    (VERDICT weak #6: cross-engine validation at matched DRMs)."""
+    from tt_sketch_tpu.drm import TensorTrainDRM
+    from tt_sketch_tpu.engine.dispatch import SketchMethod, general_sketch
+    from tt_sketch_tpu.engine.uniform import uniform_stream_sketch_stacked
+
+    d, n = 6, 5
+    shape = (n,) * d
+    tt = TensorTrain.random(shape, 3, seed=0)
+    left = TensorTrainDRM(4, shape=shape, transpose=False, seed=21)
+    right = TensorTrainDRM(7, shape=shape, transpose=True, seed=22)
+    ref = general_sketch(tt, left, right, SketchMethod.streaming)
+
+    X = stack_tt(tt)
+    Y = (
+        jnp.asarray(left.cores[0]),
+        jnp.stack([jnp.asarray(c) for c in left.cores[1:]]),
+    )
+    Z = (
+        jnp.asarray(right.cores[0]),
+        jnp.stack([jnp.asarray(c) for c in right.cores[1:]]),
+    )
+    (Pf, Pi, Pl), Om = uniform_stream_sketch_stacked(X, Y, Z)
+    psis = [Pf] + [Pi[i] for i in range(Pi.shape[0])] + [Pl]
+    assert len(psis) == len(ref.Psi_cores)
+    for a, b in zip(ref.Psi_cores, psis):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    for a, b in zip(ref.Omega_mats, Om):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)

@@ -113,7 +113,19 @@ class DRM(ABC):
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
-        if not getattr(cls, "__abstractmethods__", True):
+        # ABCMeta sets ``cls.__abstractmethods__`` only *after*
+        # __init_subclass__ runs, so compute the still-unimplemented set
+        # directly: every abstract name declared anywhere in the MRO whose
+        # resolution on ``cls`` is still abstract.
+        abstracts = {
+            name
+            for base in cls.__mro__
+            for name in getattr(base, "__abstractmethods__", ())
+            if getattr(
+                getattr(cls, name, None), "__isabstractmethod__", False
+            )
+        }
+        if not abstracts:
             jax.tree_util.register_pytree_node_class(cls)
 
 

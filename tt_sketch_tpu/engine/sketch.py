@@ -252,9 +252,17 @@ def stream_sketch(
             f"{right_drm.rank}."
         )
 
-    sketch = general_sketch(
-        tensor, left_drm, right_drm, method=SketchMethod.streaming
-    )
+    if compile:
+        # one fused XLA program; pytree structure (tensor format, shapes,
+        # DRM config) is the cache key, so GMRES-style repeated rounding
+        # sketches compile once and skip Python dispatch thereafter
+        sketch = _compiled_general_sketch(
+            tensor, left_drm, right_drm, "streaming"
+        )
+    else:
+        sketch = general_sketch(
+            tensor, left_drm, right_drm, method=SketchMethod.streaming
+        )
     sketched = SketchedTensorTrain(sketch, left_drm, right_drm)
     if return_drm:
         return sketched, left_drm, right_drm

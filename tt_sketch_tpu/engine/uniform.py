@@ -229,11 +229,14 @@ def uniform_stream_sketch(
     d = interior.shape[0] + 2
     n = first.shape[1]
 
+    from tt_sketch_tpu.engine.sketch import _derive_right_seed
+
     Yf, Yi, _ = uniform_random_tt(
         d, n, left_rank, seed, norm_goal="norm-preserve", dtype=dtype
     )
     Zf, Zi, _ = uniform_random_tt(
-        d, n, right_rank, seed + 105, norm_goal="norm-preserve", dtype=dtype
+        d, n, right_rank, _derive_right_seed(seed, d),
+        norm_goal="norm-preserve", dtype=dtype,
     )
     # DRM needs d-1 cores: (first, interior) with interior length d-2 covers
     # modes 0..d-2; drop nothing (uniform_random_tt returns d-2 interiors, so

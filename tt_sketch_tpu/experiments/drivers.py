@@ -169,32 +169,67 @@ def run_dimension_scaling(
 
 
 def run_timings(out: str = "results", quick: bool = False, progress=True):
-    """Dense wall-time benchmark, shape (100,)^5 targets rank 150
-    (plot_timings.py:28-36); STTA x2 and +3 oversampling vs HMT."""
-    dim = 20 if quick else 100
-    tensor = problems.dense_random_problem(dim=dim)
-    ranks = [5, 10] if quick else list(range(25, 151, 25))
-    runs = range(2) if quick else range(5)
+    """Wall-time benchmark on a rank-150 exp-decay TT of shape (100,)^5
+    (plot_timings.py:28-58): STTA x2 / STTA +3 / HMT / OTTS x2 over sketch
+    ranks 5..145.  Error via the exact TT identity (the (100,)^5 tensor
+    cannot be densified)."""
+    if quick:
+        dim, tt_rank = 20, 12
+        ranks = [5, 10]
+        runs = range(2)
+    else:
+        dim, tt_rank = 100, 150
+        ranks = list(range(5, 146, 10))
+        runs = range(5)
+    tensor = problems.exp_decay_tt_problem(
+        n_dims=5, dim=dim, tt_rank=tt_rank, seed=179, min_svdval=-20.0
+    )
     exp = _exp(out, "timings")
+    err = _tt_fast_error_func()
     grid = list(itertools.product(ranks, runs))
     for rank, run in _maybe_tqdm(grid, "STTA-x2", progress):
         exp.run(
             tensor, "STTA-x2", tasks.experiment_stream_sketch,
-            left_rank=rank, right_rank=2 * rank,
+            left_rank=rank, right_rank=2 * rank, error_func=err,
             run=run, seed=_seed_for(rank, run, 6),
         )
     for rank, run in _maybe_tqdm(grid, "STTA-plus3", progress):
         exp.run(
             tensor, "STTA-plus3", tasks.experiment_stream_sketch,
-            left_rank=rank, right_rank=rank + 3,
+            left_rank=rank, right_rank=rank + 3, error_func=err,
             run=run, seed=_seed_for(rank, run, 7),
         )
     for rank, run in _maybe_tqdm(grid, "HMT", progress):
         exp.run(
             tensor, "HMT", tasks.experiment_hmt_sketch,
-            rank=rank, run=run, seed=_seed_for(rank, run, 8),
+            rank=rank, run=run, error_func=err,
+            seed=_seed_for(rank, run, 8),
+        )
+    for rank, run in _maybe_tqdm(grid, "OTTS-x2", progress):
+        exp.run(
+            tensor, "OTTS-x2", tasks.experiment_orthogonal_sketch,
+            left_rank=rank, right_rank=2 * rank, error_func=err,
+            run=run, seed=_seed_for(rank, run, 20),
         )
     return exp
+
+
+def _tt_fast_error_func():
+    """Relative error via the exact TT inner-product identity with the
+    target's Gram norm cached across the sweep."""
+    import numpy as _np
+
+    cache = {}
+
+    def fast_error_func(tt, tensor_):
+        if "b2" not in cache:
+            cache["b2"] = float(tensor_.norm()) ** 2
+        a2 = float(tt.norm()) ** 2
+        ab = float(tt.dot(tensor_))
+        b2 = cache["b2"]
+        return float(_np.sqrt(max(a2 + b2 - 2.0 * ab, 0.0)) / _np.sqrt(b2))
+
+    return fast_error_func
 
 
 def run_right_oversampling(
@@ -304,20 +339,7 @@ def run_timings_vs_error(
         ranks = list(range(5, 25))
         runs = range(10)
     exp = _exp(out, "timings_vs_error")
-
-    import numpy as _np
-
-    cache = {}
-
-    def fast_error_func(tt, tensor_):
-        # |tt - b| / |b| with <b,b> computed once for the whole sweep
-        if "b2" not in cache:
-            cache["b2"] = float(tensor_.norm()) ** 2
-        a2 = float(tt.norm()) ** 2
-        ab = float(tt.dot(tensor_))
-        b2 = cache["b2"]
-        return float(_np.sqrt(max(a2 + b2 - 2.0 * ab, 0.0)) / _np.sqrt(b2))
-
+    fast_error_func = _tt_fast_error_func()
     grid = list(itertools.product(ranks, runs))
     for rank, run in _maybe_tqdm(grid, "OTTS", progress):
         exp.run(

@@ -68,6 +68,16 @@ class TensorTrain(Tensor):
         max_rank: Optional[TTRank] = None,
         orthogonalized: bool = False,
     ) -> TensorTrain:
+        """TT-SVD rounding (reference tensor.py:446-484).
+
+        With ``eps=None`` (or 0) and a ``max_rank``, the cut is purely the
+        static rank cap, so the fully device-side sweep is used — no per-mode
+        host readback of singular values (those cost d device→host syncs on a
+        tunneled TPU backend, the GMRES pairwise hot path)."""
+        if eps is None and max_rank is not None:
+            return TensorTrain(
+                tt_ops.tt_round_fixed_rank(self.cores, max_rank, orthogonalized)
+            )
         return TensorTrain(
             tt_ops.tt_round(self.cores, eps, max_rank, orthogonalized)
         )

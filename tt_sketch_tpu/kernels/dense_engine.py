@@ -172,11 +172,26 @@ def dense_stream_sketch_bisect(
     """
     if shape is not None:
         d = len(shape)
-        if X.ndim == 2:
+        if X.ndim == 2 and d != 2:
             if pivot is None:
                 raise ValueError("2-D X requires an explicit pivot")
-        else:
-            assert tuple(X.shape) == tuple(shape)
+            pre = 1
+            for n in shape[: pivot + 1]:
+                pre *= n
+            suf = 1
+            for n in shape[pivot + 1:]:
+                suf *= n
+            if tuple(X.shape) != (pre, suf):
+                raise ValueError(
+                    f"2-D X of shape {tuple(X.shape)} is not the pivot-"
+                    f"{pivot} flattening ({pre}, {suf}) of logical shape "
+                    f"{tuple(shape)}"
+                )
+        elif tuple(X.shape) != tuple(shape):
+            raise ValueError(
+                f"X.shape {tuple(X.shape)} does not match shape= "
+                f"{tuple(shape)}"
+            )
     else:
         d = X.ndim
         shape = X.shape
