@@ -5,3 +5,8 @@ from tt_sketch_tpu.dist.sharded import (  # noqa: F401
     sharded_sparse_stream_sketch,
     sharded_tt_sum_stream_sketch,
 )
+from tt_sketch_tpu.dist.multihost import (  # noqa: F401
+    global_mesh,
+    initialize_multihost,
+    make_global,
+)

@@ -199,7 +199,12 @@ def sharded_sparse_stream_sketch(
             shard_fn, mesh=mesh, in_specs=in_spec, out_specs=P()
         )
     )
-    Psi_cores, Omega_mats = fn(indices, entries)
+    from tt_sketch_tpu.dist.multihost import make_global
+
+    Psi_cores, Omega_mats = fn(
+        make_global(mesh, in_spec[0], indices),
+        make_global(mesh, in_spec[1], entries),
+    )
 
     container = SketchContainer(
         list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
@@ -279,7 +284,9 @@ def sharded_dense_stream_sketch(
             shard_fn, mesh=mesh, in_specs=P(data_axis), out_specs=P()
         )
     )
-    Psi_cores, Omega_mats = fn(jnp.asarray(X))
+    from tt_sketch_tpu.dist.multihost import make_global
+
+    Psi_cores, Omega_mats = fn(make_global(mesh, P(data_axis), X))
     container = SketchContainer(
         list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
     )
@@ -350,7 +357,11 @@ def sharded_tt_sum_stream_sketch(
     fn = jax.jit(
         jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P())
     )
-    Psi_cores, Omega_mats = fn(*summands_cores)
+    from tt_sketch_tpu.dist.multihost import make_global
+
+    Psi_cores, Omega_mats = fn(
+        *(make_global(mesh, s, c) for s, c in zip(in_specs, summands_cores))
+    )
     container = SketchContainer(
         list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
     )

@@ -417,8 +417,9 @@ def run_cookie(out: str = "results", quick: bool = False, progress=True):
     num_coeffs = 4 if quick else 20
     n = 20 if quick else 60
     A, b, precond = problems_cookie(num_coeffs=num_coeffs, n=n)
-    max_ranks = [8] if quick else list(range(10, 101, 15))
+    max_ranks = [8] if quick else list(range(10, 101, 10))
     maxiter = 8 if quick else 50
+    runs = range(1) if quick else range(2)
     exp = _exp(out, "cookie")
 
     def gmres_task(_input, rounding_method=None, max_rank=None, seed=0, **kw):
@@ -438,13 +439,13 @@ def run_cookie(out: str = "results", quick: bool = False, progress=True):
         }
 
     grid = list(
-        itertools.product(["sketch", "pairwise"], max_ranks)
+        itertools.product(["sketch", "pairwise"], max_ranks, runs)
     )
-    for rounding, max_rank in _maybe_tqdm(grid, "cookie-GMRES", progress):
+    for rounding, max_rank, run in _maybe_tqdm(grid, "cookie-GMRES", progress):
         exp.run(
             None, f"GMRES-{rounding}", gmres_task,
-            rounding_method=rounding, max_rank=max_rank,
-            seed=_seed_for(max_rank, 0, 12),
+            rounding_method=rounding, max_rank=max_rank, run=run,
+            seed=_seed_for(max_rank, run, 12),
         )
     return exp
 

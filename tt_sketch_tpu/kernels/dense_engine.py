@@ -233,8 +233,11 @@ def dense_stream_sketch_bisect(
     rho = R.shape[-1]
     r_next = L.shape[-1]
     if projector == "auto":
-        # one-pass kernel when on a real TPU and the 2-D view tiles evenly
-        # (measured v5e: ~1.8x over the two-GEMM XLA path); else XLA
+        # one-pass f32 kernel when on a real TPU and the 2-D view tiles
+        # evenly (measured v5e, fenced: 740 GB/s vs 364 GB/s for the
+        # two-GEMM XLA path — see pallas_project.py); else XLA.  bf16 MXU
+        # ("pallas_bf16") is opt-in only: at sketch-sized ranks the f32
+        # kernel is already memory-bound, so auto never trades accuracy.
         from tt_sketch_tpu.kernels.pallas_project import fits_dual_project
 
         on_tpu = jax.devices()[0].platform == "tpu"

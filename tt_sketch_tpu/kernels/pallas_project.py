@@ -32,12 +32,17 @@ block written exactly once — and one XLA sum over axis 0 finishes T.
 Extra traffic: ``n_j·|T|`` written + read back, a few % of |X|.
 
 ``mxu_dtype=bfloat16`` casts the VMEM-resident X block (and L/R) to bf16
-before the two MXU contractions while accumulating in f32.  f32 sketching
-at rank 32/64 demands ~48 flop/byte — above the v5e's f32 MXU roofline at
-HBM speed — so the f32 path is compute-bound; bf16 inputs double MXU
-throughput and put the kernel back at memory-bandwidth speed.  Randomized
-sketches are robust to this: the DRM is noise by construction, and the
-recovery lstsq runs in f32/f64 either way.  Parity/accuracy paths use f32.
+before the two MXU contractions while accumulating in f32.  Measured on
+the v5e (readback-fenced, 2-D-native 2.15 GB slab, r=32/ρ=64,
+scripts/bench_projector2.py): one-pass f32 at blocks (128, 4096) sustains
+~740 GB/s application throughput — 94% of the same-harness HBM read rate
+(788 GB/s) and 2.0x the XLA two-GEMM schedule (364 GB/s) — so the f32
+kernel is already memory-bound at these ranks and bf16 adds nothing
+(745 GB/s).  bf16 stays available for larger rank pairs where the MXU
+becomes the bottleneck.  Two caveats that round-1 got wrong: the caller
+must keep X 2-D from the start (reshaping a 4-D tiled slab costs a ~6.4 ms
+relayout copy that swamps the kernel), and timings through the tunneled
+backend MUST be readback-fenced (block_until_ready returns early).
 """
 from __future__ import annotations
 
@@ -57,7 +62,7 @@ def _i32(v: int):
 
 
 def fits_dual_project(P: int, S: int, r: int, rho: int, itemsize: int = 4,
-                      block_m: int = 256, block_n: int = 2048) -> bool:
+                      block_m: int = 128, block_n: int = 4096) -> bool:
     """Whether the one-pass kernel applies to this projection problem."""
     if P % block_m or S % block_n:
         return False
@@ -94,7 +99,7 @@ def _dual_project_kernel(x_ref, r_ref, l_ref, t_ref, u_ref, *, mxu_dtype):
     jax.jit,
     static_argnames=("block_m", "block_n", "mxu_dtype", "interpret"),
 )
-def dual_project(X2d, R, L, *, block_m: int = 256, block_n: int = 2048,
+def dual_project(X2d, R, L, *, block_m: int = 128, block_n: int = 4096,
                  mxu_dtype=jnp.float32, interpret: bool = False):
     """Return ``(X2d @ R, Lᵀ @ X2d)`` with one HBM pass over ``X2d``.
 
