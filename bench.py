@@ -35,6 +35,14 @@ def main():
     n_slabs = 19  # total 256*19 x 128^3 ≈ 1.020e10 entries ≈ 40.8 GB
     shape = (slab_shape[0] * n_slabs,) + slab_shape[1:]
     left_rank, right_rank = 32, 64
+    # Keep the slab 2-D from creation: XLA's tiled 4-D layout costs a full
+    # relayout copy (~6.4 ms/slab, measured) when the Pallas call pins the
+    # 2-D layout, so the streaming caller works on the pivot-1 flattening.
+    pivot = 1
+    slab2d_shape = (
+        slab_shape[0] * slab_shape[1],
+        slab_shape[2] * slab_shape[3],
+    )
 
     left_drm = TensorTrainDRM(
         left_rank, shape=shape, transpose=False, seed=1, dtype=dtype
@@ -46,47 +54,49 @@ def main():
     left_rest = [jnp.asarray(c, dtype) for c in left_drm.cores[1:]]
 
     @jax.jit
-    def sketch_slab(slab, core0_slice):
+    def sketch_slab(slab2d, core0_slice):
         cores = [core0_slice] + left_rest
         psis, omegas = dense_stream_sketch_bisect(
-            slab, cores, right_cores, projector="auto"
+            slab2d, cores, right_cores, pivot=pivot, projector="auto",
+            shape=slab_shape,
         )
-        # containers are tiny; sum Psi_0 over slab rows so the fence value
-        # depends on the whole computation
         return psis, omegas
 
     key = jax.random.PRNGKey(0)
-    slab = jax.random.normal(key, slab_shape, dtype)
+    slab = jax.random.normal(key, slab2d_shape, dtype)
     core0 = jnp.asarray(left_drm.cores[0], dtype)
     slab_size = slab_shape[0]
 
-    fence = jax.jit(lambda psis: jnp.sum(psis[-1]))
+    # Fence on BOTH kernel outputs (Psi_{d-1} comes from the U = LᵀX half,
+    # Omega_0 from the T = XR half) so the readback depends on the whole
+    # dual projection even if execution were ever out of order.
+    fence = jax.jit(lambda out: jnp.sum(out[0][-1]) + jnp.sum(out[1][0]))
 
     # warmup / compile / tunnel to-host warmup (first readback can be slow)
     out = sketch_slab(slab, core0[:, :slab_size, :])
     t0 = time.perf_counter()
-    _ = float(fence(out[0]))
+    _ = float(fence(out))
     print(f"# first readback {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # fence cost: readback of an already-computed scalar-sized array
-    ready = fence(out[0])
+    ready = fence(out)
     ready.block_until_ready()
     fence_costs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(fence(out[0]))
+        _ = float(fence(out))
         fence_costs.append(time.perf_counter() - t0)
     fence_cost = float(np.median(fence_costs))
     print(f"# fence cost {fence_cost*1e3:.1f} ms", file=sys.stderr)
 
-    reps = 3
+    reps = 10
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):
         for i in range(n_slabs):
             sl = core0[:, i * slab_size: (i + 1) * slab_size, :]
             out = sketch_slab(slab, sl)
-    _ = float(fence(out[0]))  # in-order execution fences all slabs
+    _ = float(fence(out))  # in-order execution fences all slabs
     elapsed = time.perf_counter() - t0 - fence_cost
     elapsed /= reps
 

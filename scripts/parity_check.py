@@ -234,11 +234,104 @@ def main() -> int:
     ) / np.linalg.norm(ref_otts.to_numpy())
     ok &= check("OTTS recovered TT", rel < 1e-9, f"rel={rel:.2e}")
 
+    ok &= check_gmres(args.reference)
+
     if ok:
         print("PARITY-OK")
         return 0
     print("PARITY-FAIL")
     return 1
+
+
+def check_gmres(ref_path: str) -> bool:
+    """Cross-validate TT-GMRES against the reference on the same cookie
+    operators (VERDICT: apples-to-apples GMRES baseline without the
+    non-redistributable htucker ``cookies_matrices_2x2.mat``).
+
+    Injects this repo's synthetic ``A_list``/``b`` into the reference's own
+    ``CookieMap``/``TTPrecond`` structures (scripts/cookie_problem.py:37-109)
+    and runs both implementations with deterministic ``pairwise`` rounding:
+    the residual-norm trajectories must coincide to float-drift tolerance.
+    To run the REAL EPFL data instead, drop ``cookies_matrices_2x2.mat``
+    into ``data/`` and call the reference's ``prepare_cookie_problem`` /
+    this repo's ``prepare_cookie_problem(A_list, b, num_coeffs)`` with the
+    .mat contents — the harness below is identical from there on.
+    """
+    import importlib.util
+
+    ref_cookie_py = Path(ref_path) / "scripts" / "cookie_problem.py"
+    spec = importlib.util.spec_from_file_location(
+        "ref_cookie_problem", ref_cookie_py
+    )
+    ref_cookie = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(ref_cookie)
+    except Exception as e:  # matplotlib/scipy missing, etc.
+        print(f"GMRES cross-validation skipped ({type(e).__name__}: {e})")
+        return True
+
+    import tt_sketch.tt_gmres as ref_gmres
+    from tt_sketch.tensor import TensorTrain as RefTT
+
+    from tt_sketch_tpu.solvers.parametric import (
+        _cookie_patch,
+        _laplacian_1d,
+        prepare_cookie_problem,
+    )
+    from tt_sketch_tpu.solvers.tt_gmres import tt_sum_gmres
+
+    # same synthetic operators on both sides
+    n, num_cookies, num_coeffs = 40, 4, 4
+    rng = np.random.default_rng(0)
+    A_list = [_laplacian_1d(n)] + [
+        _cookie_patch(n, k, num_cookies, rng) for k in range(num_cookies)
+    ]
+    b = np.ones(n)
+    shape = (n,) + (num_coeffs,) * num_cookies
+
+    # ours
+    A_ours, B_ours, pre_ours = prepare_cookie_problem(A_list, b, num_coeffs)
+    x_ours, hist_ours = tt_sum_gmres(
+        A_ours, B_ours, max_rank=10, precond=pre_ours, maxiter=6,
+        rounding_method="pairwise",
+    )
+
+    # reference, same structures
+    coeffs_list = [np.ones(n)] + [
+        np.linspace(0.0, 10.0, num_coeffs) for _ in range(num_cookies)
+    ]
+    ref_maps = [
+        ref_cookie.CookieMap(A, mu, shape, coeffs)
+        for mu, (A, coeffs) in enumerate(zip(A_list, coeffs_list))
+    ]
+    ref_map_sum = ref_gmres.TTLinearMapSum(ref_maps)
+    A_pre = np.sum(
+        [A * np.mean(c) for A, c in zip(A_list, coeffs_list)], axis=0
+    )
+    ref_pre = ref_gmres.TTPrecond(A_pre, shape, mode=0)
+    B_ref = RefTT(
+        [b.reshape(1, -1, 1)] + [np.ones((1, m, 1)) for m in shape[1:]]
+    )
+    x_ref, hist_ref = ref_gmres.tt_sum_gmres(
+        ref_map_sum, B_ref, max_rank=10, precond=ref_pre, maxiter=6,
+        rounding_method="pairwise",
+    )
+
+    ours = np.asarray(hist_ours["residual_norm"], dtype=np.float64)
+    ref = np.asarray(hist_ref["residual_norm"], dtype=np.float64)
+    m = min(len(ours), len(ref))
+    drift = float(np.max(np.abs(ours[:m] - ref[:m]) / ref[:m]))
+    ok = check(
+        "GMRES pairwise residual trajectory",
+        m >= 6 and drift < 1e-6,
+        f"max rel drift over {m} iters = {drift:.2e}",
+    )
+    sol_rel = float(
+        np.linalg.norm(x_ref.to_numpy() - np.asarray(x_ours.to_dense()))
+        / np.linalg.norm(x_ref.to_numpy())
+    )
+    ok &= check("GMRES pairwise solution", sol_rel < 1e-6, f"rel={sol_rel:.2e}")
+    return ok
 
 
 if __name__ == "__main__":

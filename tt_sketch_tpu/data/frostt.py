@@ -61,8 +61,65 @@ FROSTT_TENSORS: Dict[str, FrosttInfo] = {
             125,
             (25, 25, 25),
         ),
+        # Synthetic stand-ins at the exact shape/nnz of the real tensors,
+        # for air-gapped environments (values from a deterministic
+        # ground-truth TT + noise, so rank sweeps stay informative).
+        FrosttInfo(
+            "uber-synthetic",
+            "synthetic://uber",
+            3309490,
+            (183, 24, 1140, 1717),
+        ),
+        FrosttInfo(
+            "nips-synthetic",
+            "synthetic://nips",
+            3101609,
+            (2482, 2862, 14036, 17),
+        ),
     ]
 }
+
+
+def _synthesize(info: FrosttInfo, seed: int = 0) -> SparseTensor:
+    """Deterministic COO tensor at a real FROSTT tensor's scale.
+
+    Unique uniform indices; values gathered from a rank-12 exp-decay
+    ground-truth ``TensorTrain`` plus 10% multiplicative noise — TT-rank
+    sweeps on it behave like on real data (error falls with rank down to
+    the noise floor) while the generator is seed-reproducible and offline.
+    """
+    from tt_sketch_tpu.formats import TensorTrain
+
+    shape, nnz = info.shape, info.nnz
+    rng = np.random.default_rng(
+        np.random.SeedSequence([seed, len(info.name), nnz])
+    )
+    # oversample then dedupe to unique multi-indices
+    want = int(nnz * 1.08) + 64
+    idx = np.stack([rng.integers(0, s, want) for s in shape])
+    flat = np.ravel_multi_index(tuple(idx), shape)
+    _, keep = np.unique(flat, return_index=True)
+    keep = np.sort(keep)[:nnz]
+    if keep.size < nnz:  # pragma: no cover - astronomically unlikely
+        raise RuntimeError("dedup undershoot; raise the oversample factor")
+    idx = idx[:, keep]
+
+    rank = 12
+    tt = TensorTrain.random(shape, rank, seed=seed + 7)
+    # decaying spectrum: scale interior-core columns so the tensor is
+    # TT-compressible (like count data with a few dominant patterns)
+    decay = np.exp(-np.arange(rank) / 2.0)
+    cores = [np.asarray(C) for C in tt.cores]
+    cores[0] = cores[0] * decay[None, None, :]
+    tt = TensorTrain([c for c in cores])
+
+    vals = np.empty(nnz, np.float64)
+    chunk = 1 << 18
+    for lo in range(0, nnz, chunk):
+        hi = min(lo + chunk, nnz)
+        vals[lo:hi] = np.asarray(tt.gather(idx[:, lo:hi]))
+    vals *= 1.0 + 0.1 * rng.standard_normal(nnz)
+    return SparseTensor(shape, idx, vals)
 
 
 def parse_tns(path: Union[str, Path], shape: Optional[Tuple[int, ...]] = None
@@ -119,6 +176,9 @@ def load_frostt(
     gz_path = cache / info.url.rsplit("/", 1)[-1]
     npz_path = gz_path.with_suffix("").with_suffix(".npz")
 
+    if info.url.startswith("synthetic://"):
+        npz_path = cache / f"{info.name}.npz"
+
     if npz_path.exists():
         with np.load(npz_path) as data:
             return SparseTensor(
@@ -126,6 +186,16 @@ def load_frostt(
                 data["indices"],
                 data["entries"],
             )
+    if info.url.startswith("synthetic://"):
+        tensor = _synthesize(info)
+        cache.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            npz_path,
+            indices=np.asarray(tensor.indices),
+            entries=np.asarray(tensor.entries),
+            shape=np.asarray(tensor.shape),
+        )
+        return tensor
     if not gz_path.exists():
         if not download:
             raise FileNotFoundError(

@@ -367,11 +367,19 @@ def run_timings_vs_error(
 def run_frostt(
     out: str = "results", quick: bool = False, progress=True,
     names: Optional[Sequence[str]] = None, cache_dir: str = "data",
+    ranks: Optional[Sequence[int]] = None, n_runs: Optional[int] = None,
 ):
     """Sketch-and-sample-error on the FROSTT real-world sparse tensors
     (reference scripts/frostt.py:100-118).  Tensors must be cached locally
     (see data/frostt.py); missing ones are skipped with a notice so the
-    sweep is usable offline."""
+    sweep is usable offline.  The ``*-synthetic`` registry names generate
+    offline stand-ins at the real shapes/nnz.
+
+    Expectation management: tensors whose nonzero pattern is fine-grained
+    and unstructured (the synthetic stand-ins; real count data at these
+    ranks behaves similarly) have sample errors near 1 at ranks ≪ mode
+    sizes — the sweep's value is the at-scale machinery + timing record,
+    not a compression story."""
     from tt_sketch_tpu.data.frostt import (
         FROSTT_TENSORS,
         load_frostt,
@@ -380,8 +388,9 @@ def run_frostt(
 
     if names is None:
         names = sorted(FROSTT_TENSORS)
-    ranks = [5] if quick else [5, 10, 20, 40]
-    runs = range(1) if quick else range(5)
+    if ranks is None:
+        ranks = [5] if quick else [5, 10, 20, 40]
+    runs = range(n_runs) if n_runs else (range(1) if quick else range(5))
     exp = _exp(out, "frostt")
 
     def sample_error_func(tt, tensor):
