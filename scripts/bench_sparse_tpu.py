@@ -1,0 +1,110 @@
+"""Sparse STTA throughput on the real chip at FROSTT scale (nnz/s).
+
+Measures the end-to-end sparse fast path — lazy Pallas counter-based DRM
+rows (kernels/pallas_rng.py) + chunked segment-sum Ψ
+(kernels/sketch_kernels.py) — on a FROSTT-scale COO tensor
+(reference scripts/frostt.py:100-118; uber = 3,309,490 nnz).
+
+Protocol (CLAUDE.md): one warm-up call compiles; steady-state calls are
+timed with ``block_until_ready`` fences only (no device->host readback —
+first readback through the tunnel has been observed to hang).  The number
+reported is nnz/s of the full two-sided sketch: every timed call
+regenerates both DRMs' rows at all nnz indices for every mode and runs all
+Ψ/Ω contractions.
+
+Usage:
+    timeout 1500 python -u scripts/bench_sparse_tpu.py [--name uber-synthetic]
+        [--rank 10] [--repeats 5]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", default="uber-synthetic")
+    p.add_argument("--rank", type=int, default=10)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    args = p.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from tt_sketch_tpu.data.frostt import load_frostt
+    from tt_sketch_tpu.drm import SparseGaussianDRM
+    from tt_sketch_tpu.engine.sketch import stream_sketch
+    from tt_sketch_tpu.formats import SparseTensor
+
+    dev = jax.devices()[0]
+    print(f"platform={dev.platform} device={dev}", flush=True)
+
+    host = load_frostt(args.name, cache_dir="data", download=False)
+    nnz = host.nnz
+    dtype = jnp.float32
+    # Move the COO data to device once, outside the timed region.
+    tensor = SparseTensor(
+        host.shape,
+        jax.device_put(jnp.asarray(host.indices, jnp.int32), dev),
+        jax.device_put(jnp.asarray(host.entries, dtype), dev),
+    )
+    jax.block_until_ready((tensor.indices, tensor.entries))
+    print(f"{args.name}: shape={tensor.shape} nnz={nnz}", flush=True)
+
+    r = args.rank
+    kwargs = dict(
+        left_rank=r,
+        right_rank=2 * r,
+        left_drm_type=SparseGaussianDRM,
+        right_drm_type=SparseGaussianDRM,
+        dtype=dtype,
+        compile=True,
+    )
+
+    t0 = time.perf_counter()
+    sk = stream_sketch(tensor, seed=42, **kwargs)
+    jax.block_until_ready(sk.sketch_.Psi_cores)
+    t_compile = time.perf_counter() - t0
+    print(f"warm-up (incl. compile): {t_compile:.2f} s", flush=True)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        sk = stream_sketch(tensor, seed=100 + i, **kwargs)
+        jax.block_until_ready(sk.sketch_.Psi_cores)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    d = len(tensor.shape)
+    # Each timed call hashes nnz rows for both DRM families at every one of
+    # the d-1 interior modes: nnz * (r + 2r) * (d-1) normal samples.
+    hashes = nnz * (r + 2 * r) * (d - 1)
+    result = {
+        "metric": "sparse_stta_nnz_per_s",
+        "name": args.name,
+        "nnz": nnz,
+        "rank": r,
+        "median_s": med,
+        "times_s": times,
+        "value": nnz / med,
+        "hash_samples_per_s": hashes / med,
+        "platform": dev.platform,
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,38 +1,35 @@
-"""Execute every python block in docs/TUTORIAL.md.
+"""Every ``python`` block in docs/TUTORIAL.md must run as-is.
 
-The reference ships an executable notebook (scripts/tutorial.ipynb); this
-test keeps our markdown tutorial honest the same way: each ```python block
-is exec'd in order in one shared namespace, so later blocks may use names
-defined by earlier ones (``total``, ``sketched``).  Runs on the test
-suite's CPU/f64 platform; file outputs go to a tmp cwd.
+The reference ships an executable tutorial (scripts/tutorial.ipynb); this
+test is its CI analog — it extracts the fenced ``python`` blocks in
+document order and executes them in one shared namespace (later blocks
+reuse names defined by earlier ones, like notebook cells).
 """
-import os
+from __future__ import annotations
+
 import re
 from pathlib import Path
 
-DOC = Path(__file__).resolve().parent.parent / "docs" / "TUTORIAL.md"
+TUTORIAL = Path(__file__).resolve().parent.parent / "docs" / "TUTORIAL.md"
+
+_BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
 
-def _python_blocks(text):
-    return re.findall(r"```python\n(.*?)```", text, flags=re.DOTALL)
+def _blocks():
+    text = TUTORIAL.read_text()
+    blocks = _BLOCK_RE.findall(text)
+    assert len(blocks) >= 8, f"expected >=8 python blocks, found {len(blocks)}"
+    return blocks
 
 
-def test_tutorial_blocks_execute(tmp_path):
-    blocks = _python_blocks(DOC.read_text())
-    assert len(blocks) >= 8, "tutorial lost its code blocks?"
-    ns = {}
-    cwd = os.getcwd()
-    os.chdir(tmp_path)  # the checkpointing block writes state.npz
-    try:
-        for i, block in enumerate(blocks):
-            try:
-                exec(compile(block, f"TUTORIAL.md[block {i}]", "exec"), ns)
-            except Exception as e:  # pragma: no cover - failure reporting
-                raise AssertionError(
-                    f"tutorial block {i} failed: {e}\n---\n{block}"
-                ) from e
-    finally:
-        os.chdir(cwd)
-    # sanity: the GMRES block actually converged somewhat
-    hist = ns["history"]
-    assert hist["residual_norm"][-1] < hist["residual_norm"][0]
+def test_tutorial_blocks_execute(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)  # blocks write relative paths (state.npz)
+    ns: dict = {}
+    for i, block in enumerate(_blocks()):
+        try:
+            exec(compile(block, f"TUTORIAL.md[block {i}]", "exec"), ns)
+        except Exception as e:  # pragma: no cover - failure reporting
+            raise AssertionError(
+                f"tutorial block {i} failed ({type(e).__name__}: {e}):\n"
+                f"{block}"
+            ) from e
