@@ -5,12 +5,14 @@ rows (kernels/pallas_rng.py) + chunked segment-sum Ψ
 (kernels/sketch_kernels.py) — on a FROSTT-scale COO tensor
 (reference scripts/frostt.py:100-118; uber = 3,309,490 nnz).
 
-Protocol (CLAUDE.md): one warm-up call compiles; steady-state calls are
-timed with ``block_until_ready`` fences only (no device->host readback —
-first readback through the tunnel has been observed to hang).  The number
-reported is nnz/s of the full two-sided sketch: every timed call
-regenerates both DRMs' rows at all nnz indices for every mode and runs all
-Ψ/Ω contractions.
+Protocol: ``block_until_ready`` returns EARLY through the tunneled axon
+backend (results/projector_bench.md), so each measurement loops the sketch
+``reps`` times and fences with one scalar readback (in-order execution
+fences all queued work); the separately-measured readback cost is
+subtracted.  The number reported is nnz/s of the full two-sided sketch:
+every timed call regenerates both DRMs' rows at all nnz indices for every
+mode (a fresh traced seed per call — no recompile) and runs all Ψ/Ω
+contractions.
 
 Usage:
     timeout 1500 python -u scripts/bench_sparse_tpu.py [--name uber-synthetic]
@@ -73,18 +75,33 @@ def main() -> int:
         compile=True,
     )
 
+    fence = jax.jit(
+        lambda ps: sum(jnp.sum(P.astype(jnp.float32)) for P in ps)
+    )
+
     t0 = time.perf_counter()
     sk = stream_sketch(tensor, seed=42, **kwargs)
-    jax.block_until_ready(sk.sketch_.Psi_cores)
+    _ = float(fence(sk.sketch_.Psi_cores))
     t_compile = time.perf_counter() - t0
-    print(f"warm-up (incl. compile): {t_compile:.2f} s", flush=True)
+    print(f"warm-up (incl. compile + first readback): {t_compile:.2f} s",
+          flush=True)
+    fcosts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = float(fence(sk.sketch_.Psi_cores))
+        fcosts.append(time.perf_counter() - t0)
+    fcosts.sort()
+    fence_cost = fcosts[1]
+    print(f"fence cost {fence_cost*1e3:.1f} ms", flush=True)
 
     times = []
+    inner = 5
     for i in range(args.repeats):
         t0 = time.perf_counter()
-        sk = stream_sketch(tensor, seed=100 + i, **kwargs)
-        jax.block_until_ready(sk.sketch_.Psi_cores)
-        times.append(time.perf_counter() - t0)
+        for j in range(inner):
+            sk = stream_sketch(tensor, seed=100 + inner * i + j, **kwargs)
+        _ = float(fence(sk.sketch_.Psi_cores))
+        times.append((time.perf_counter() - t0 - fence_cost) / inner)
     times.sort()
     med = times[len(times) // 2]
     d = len(tensor.shape)

@@ -357,3 +357,48 @@ def test_compile_flag_matches_eager():
         np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-12)
     for O1, O2 in zip(a.Omega_mats, b.Omega_mats):
         np.testing.assert_allclose(np.asarray(O1), np.asarray(O2), atol=1e-12)
+
+
+def test_compiled_sketch_shares_program_across_seeds():
+    """Fresh seeds must NOT recompile: the DRM seed is a traced pytree leaf
+    (drm/base.py), so GMRES-style per-call seeds hit the jit cache.  Also
+    checks that the one shared program still produces seed-dependent output
+    (the traced seed actually reaches the hash kernels)."""
+    from tt_sketch_tpu.engine.sketch import _compiled_general_sketch
+
+    tensor = make_low_rank("sparse")
+    common = dict(
+        left_rank=4, right_rank=8,
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+        compile=True,
+    )
+    a = stream_sketch(tensor, seed=101, **common)
+    size_after_first = _compiled_general_sketch._cache_size()
+    b = stream_sketch(tensor, seed=202, **common)
+    assert _compiled_general_sketch._cache_size() == size_after_first, (
+        "second seed retraced the compiled sketch program"
+    )
+    assert not np.allclose(
+        np.asarray(a.Psi_cores[0]), np.asarray(b.Psi_cores[0])
+    ), "different seeds produced identical sketches"
+    # same seed through the shared program still reproduces exactly
+    c = stream_sketch(tensor, seed=101, **common)
+    for P1, P2 in zip(a.Psi_cores, c.Psi_cores):
+        np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
+
+
+def test_onehot_segment_sum_matches_scatter():
+    """The TPU one-hot MXU segment reduction (kernels/sketch_kernels.py
+    _segment_sum_onehot) must equal jax.ops.segment_sum exactly for {0,1}
+    weights — it only activates on TPU backends, so CI exercises the
+    helper directly."""
+    import jax
+
+    from tt_sketch_tpu.kernels.sketch_kernels import _segment_sum_onehot
+
+    rng = np.random.default_rng(5)
+    outer = jnp.asarray(rng.standard_normal((257, 3, 4)))
+    idx = jnp.asarray(rng.integers(0, 11, 257), jnp.int32)
+    ref = jax.ops.segment_sum(outer, idx, num_segments=11)
+    got = _segment_sum_onehot(outer, idx, 11)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)

@@ -90,24 +90,35 @@ class DRM(ABC):
 
     _PYTREE_ARRAY_FIELDS: Tuple[str, ...] = ()
 
+    # The seed is a pytree LEAF, not static aux: algorithms like GMRES
+    # sketch-rounding draw a fresh seed per call (solvers/tt_gmres.py), and
+    # a static seed would force an XLA recompile per rounding even though
+    # the traced computation is identical.  Every hash kernel consumes the
+    # seed tracer-safely (jnp uint64 ops / Pallas salt operands).
+    _PYTREE_SCALAR_FIELDS: Tuple[str, ...] = ("seed",)
+
     def _aux_fields(self) -> dict:
+        skip = set(self._PYTREE_ARRAY_FIELDS) | set(
+            self._PYTREE_SCALAR_FIELDS
+        )
         return {
-            k: v
-            for k, v in self.__dict__.items()
-            if k not in self._PYTREE_ARRAY_FIELDS
+            k: v for k, v in self.__dict__.items() if k not in skip
         }
 
     def tree_flatten(self):
         children = tuple(
             getattr(self, k) for k in self._PYTREE_ARRAY_FIELDS
-        )
+        ) + tuple(getattr(self, k) for k in self._PYTREE_SCALAR_FIELDS)
         return children, tuple(sorted(self._aux_fields().items()))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.__dict__.update(dict(aux))
-        for k, v in zip(cls._PYTREE_ARRAY_FIELDS, children):
+        n_arrays = len(cls._PYTREE_ARRAY_FIELDS)
+        for k, v in zip(cls._PYTREE_ARRAY_FIELDS, children[:n_arrays]):
+            setattr(obj, k, v)
+        for k, v in zip(cls._PYTREE_SCALAR_FIELDS, children[n_arrays:]):
             setattr(obj, k, v)
         return obj
 

@@ -35,7 +35,11 @@ class SparseGaussianDRM(CansketchSparse, CanIncreaseRank):
         use_pallas = self._use_pallas()
         out = []
         for mu in range(len(tensor.shape) - 1):
-            seed_mu = (mu + self.seed) % (2 ** 63)
+            # (mu + seed) mod 2^63 of the reference, in uint64 so a traced
+            # seed leaf works (the 2^63 literal overflows int64 tracers)
+            seed_mu = (
+                jnp.asarray(self.seed, jnp.uint64) + jnp.uint64(mu)
+            ) % jnp.uint64(2 ** 63)
             if use_pallas:
                 from tt_sketch_tpu.kernels.pallas_rng import (
                     inds_to_normal_pallas,

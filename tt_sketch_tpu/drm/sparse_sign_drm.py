@@ -40,7 +40,8 @@ class SparseSignDRM(CansketchSparse, CanSlice):
                 self.rank_min[mu],
                 self.rank_max[mu],
                 self.nnz[mu],
-                (mu + self.seed) % (2 ** 63),
+                (jnp.asarray(self.seed, jnp.uint64) + jnp.uint64(mu))
+                % jnp.uint64(2 ** 63),
                 dtype=self.dtype,
             )
             out.append(mat.T)

@@ -340,22 +340,24 @@ def run_timings_vs_error(
         runs = range(10)
     exp = _exp(out, "timings_vs_error")
     fast_error_func = _tt_fast_error_func()
-    grid = list(itertools.product(ranks, runs))
-    for rank, run in _maybe_tqdm(grid, "OTTS", progress):
+    # run-major, methods interleaved (reference plot_timings_vs_error.py:84
+    # iterates product(runs, ranks, methods)): an interrupted sweep then
+    # leaves every (method, rank) cell with the same number of runs, so the
+    # resumable CSV is median-usable at any point.
+    grid = list(itertools.product(runs, ranks))
+    for run, rank in _maybe_tqdm(grid, "OTTS/STTA/HMT", progress):
         exp.run(
             tensor, "OTTS", tasks.experiment_orthogonal_sketch,
             left_rank=rank, right_rank=rank + 1,
             error_func=fast_error_func,
             run=run, seed=_seed_for(rank, run, 15),
         )
-    for rank, run in _maybe_tqdm(grid, "STTA", progress):
         exp.run(
             tensor, "STTA", tasks.experiment_stream_sketch,
             left_rank=rank, right_rank=rank + 1,
             error_func=fast_error_func,
             run=run, seed=_seed_for(rank, run, 16),
         )
-    for rank, run in _maybe_tqdm(grid, "HMT", progress):
         exp.run(
             tensor, "HMT", tasks.experiment_hmt_sketch,
             rank=rank, error_func=fast_error_func,

@@ -20,6 +20,33 @@ from tt_sketch_tpu.utils import matricize
 # nnz chunk bound for the (chunk, r1, r2) outer-product intermediate.
 _SPARSE_PSI_CHUNK = 1 << 16
 
+# Mode-size cap for the one-hot MXU matmul segment reduction.  On TPU,
+# scatter-add (what segment_sum lowers to) runs ~80x off memory bandwidth
+# (measured 279 ms for 3.3M nnz at r1*r2=200 vs a ~3.5 ms traffic bound);
+# contracting a {0,1} one-hot matrix against the outer products on the MXU
+# instead costs nnz*n_mu*4 bytes of one-hot traffic + a dense GEMM, which
+# wins while n_mu stays small.  Above the cap (e.g. FROSTT lbnl's 868131
+# mode) the scatter path is kept.
+_SPARSE_PSI_ONEHOT_MAX = 4096
+
+
+def _segment_sum_onehot(outer, idx, n_mu):
+    """segment_sum(outer, idx, n_mu) as a one-hot GEMM: MXU-friendly,
+    deterministic, exact (the one-hot factor is {0,1})."""
+    chunk = outer.shape[0]
+    iota = jnp.arange(n_mu, dtype=idx.dtype)
+    onehot = (iota[:, None] == idx[None, :]).astype(outer.dtype)  # (n, chunk)
+    return (onehot @ outer.reshape(chunk, -1)).reshape(
+        (n_mu,) + outer.shape[1:]
+    )
+
+
+def _use_onehot_segments(n_mu: int) -> bool:
+    return (
+        n_mu <= _SPARSE_PSI_ONEHOT_MAX
+        and jax.default_backend() == "tpu"
+    )
+
 
 # -- dense -------------------------------------------------------------------
 
@@ -72,6 +99,8 @@ def _psi_sparse_segment(left, right, entries, indices_mu, n_mu):
             outer = weighted.T[:, :, None]  # (chunk, r1, 1)
         else:
             outer = weighted.T[:, :, None] * rcols.T[:, None, :]
+        if _use_onehot_segments(n_mu):
+            return _segment_sum_onehot(outer, idx, n_mu)
         return jax.ops.segment_sum(outer, idx, num_segments=n_mu)
 
     nnz = entries.shape[0]
