@@ -428,9 +428,12 @@ def run_cookie(out: str = "results", quick: bool = False, progress=True):
     num_coeffs = 4 if quick else 20
     n = 20 if quick else 60
     A, b, precond = problems_cookie(num_coeffs=num_coeffs, n=n)
-    max_ranks = [8] if quick else list(range(10, 101, 10))
+    # Reference grid (do_cookie.py:91-92): sketch rounding sweeps max_rank
+    # 10..100 step 5, pairwise only 10..50 (its SVD cost blows up beyond).
+    sketch_ranks = [8] if quick else list(range(10, 101, 5))
+    pairwise_ranks = [8] if quick else list(range(10, 51, 5))
     maxiter = 8 if quick else 50
-    runs = range(1) if quick else range(2)
+    runs = range(1) if quick else range(5)
     exp = _exp(out, "cookie")
 
     def gmres_task(_input, rounding_method=None, max_rank=None, seed=0, **kw):
@@ -449,9 +452,16 @@ def run_cookie(out: str = "results", quick: bool = False, progress=True):
             "final_rank": max(x.rank),
         }
 
-    grid = list(
-        itertools.product(["sketch", "pairwise"], max_ranks, runs)
-    )
+    # Run-major like the reference (do_cookie.py:97-125): each completed
+    # run covers the full (method, rank) grid, so a partial sweep is usable.
+    grid = [
+        (rounding, max_rank, run)
+        for run in runs
+        for rounding, ranks in (
+            ("sketch", sketch_ranks), ("pairwise", pairwise_ranks),
+        )
+        for max_rank in ranks
+    ]
     for rounding, max_rank, run in _maybe_tqdm(grid, "cookie-GMRES", progress):
         exp.run(
             None, f"GMRES-{rounding}", gmres_task,
