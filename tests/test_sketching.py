@@ -402,3 +402,44 @@ def test_onehot_segment_sum_matches_scatter():
     ref = jax.ops.segment_sum(outer, idx, num_segments=11)
     got = _segment_sum_onehot(outer, idx, 11)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+def test_sparse_omega_chunked_matches_unchunked(monkeypatch):
+    """sketch_omega_sparse scans over nnz chunks above _SPARSE_PSI_CHUNK
+    (full-nnz GEMM fuses into a padded (nnz, ·) temp that OOMs at FROSTT
+    scale); both regimes must agree to fp accumulation order."""
+    import tt_sketch_tpu.kernels.sketch_kernels as sk
+
+    rng = np.random.default_rng(3)
+    nnz = 4097
+    left = jnp.asarray(rng.standard_normal((6, nnz)))
+    right = jnp.asarray(rng.standard_normal((9, nnz)))
+
+    class _T:
+        entries = jnp.asarray(rng.standard_normal(nnz))
+
+    ref = sk.sketch_omega_sparse(left, right, tensor=_T)
+    monkeypatch.setattr(sk, "_SPARSE_PSI_CHUNK", 512)
+    got = sk.sketch_omega_sparse(left, right, tensor=_T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+def test_chain_step_sparse_chunked_matches_unchunked(monkeypatch):
+    """Above _SPARSE_CHAIN_CHUNK nnz the TT-DRM sparse chain runs as a
+    lax.scan over zero-padded chunks (the unchunked gather+einsum allocates
+    a (nnz, r1, r2) intermediate that TPU (8,128) tiling pads ~80x — OOM at
+    FROSTT scale).  Both paths must agree exactly."""
+    import tt_sketch_tpu.drm.tensor_train_drm as ttdrm
+
+    rng = np.random.default_rng(17)
+    core = jnp.asarray(rng.standard_normal((6, 23, 5)))
+    nnz = 4097
+    idx = jnp.asarray(rng.integers(0, 23, nnz))
+    state = jnp.asarray(rng.standard_normal((nnz, 6)))
+    ref = ttdrm.chain_step_sparse(state, core, idx)
+    monkeypatch.setattr(ttdrm, "_SPARSE_CHAIN_CHUNK", 512)
+    got = ttdrm.chain_step_sparse(state, core, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-13)
+    # first-core path (state None) is a plain gather in both regimes
+    first = ttdrm.chain_step_sparse(None, core[:1], idx)
+    assert first.shape == (nnz, 5)

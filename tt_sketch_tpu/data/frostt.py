@@ -80,44 +80,76 @@ FROSTT_TENSORS: Dict[str, FrosttInfo] = {
 }
 
 
+def _grid_sizes(shape: Tuple[int, ...], nnz: int) -> Tuple[int, ...]:
+    """Per-mode subset sizes whose product ≈ ``nnz``, each ≤ the mode size.
+
+    Small modes are fixed first (they may cap below the geometric mean);
+    the remaining budget is re-spread over the larger modes."""
+    d = len(shape)
+    sizes = [0] * d
+    order = sorted(range(d), key=lambda i: shape[i])
+    remaining = float(nnz)
+    left = d
+    for i in order:
+        s = max(1, min(shape[i], int(round(remaining ** (1.0 / left)))))
+        sizes[i] = s
+        remaining = max(1.0, remaining / s)
+        left -= 1
+    return tuple(sizes)
+
+
 def _synthesize(info: FrosttInfo, seed: int = 0) -> SparseTensor:
     """Deterministic COO tensor at a real FROSTT tensor's scale.
 
-    Unique uniform indices; values gathered from a rank-12 exp-decay
-    ground-truth ``TensorTrain`` plus 10% multiplicative noise — TT-rank
-    sweeps on it behave like on real data (error falls with rank down to
-    the noise floor) while the generator is seed-reproducible and offline.
-    """
-    from tt_sketch_tpu.formats import TensorTrain
+    The nonzero pattern is a Cartesian subgrid (a random index subset per
+    mode, product of sizes ≈ the real tensor's nnz), and the values are a
+    rank-12 exp-decay ground-truth TT evaluated on that subgrid plus 10%
+    multiplicative noise.  A sparse tensor whose support is a subgrid of a
+    TT *is itself* a TT of the same rank (zero-pad the cores outside the
+    subsets), so rank sweeps on it behave like on compressible real data:
+    the sample error falls with rank down to the ~10% noise floor, instead
+    of sitting at ≈1 as it does for uniformly-scattered indices (a sparse
+    tensor with i.i.d. random support has no low-rank structure to find).
 
-    shape, nnz = info.shape, info.nnz
+    Runs entirely on the host (numpy cores + one numpy contraction): data
+    generation must never touch the device — on a tunneled TPU backend a
+    per-chunk device→host readback can stall for minutes (CLAUDE.md).
+    """
+    shape = info.shape
+    d = len(shape)
     rng = np.random.default_rng(
-        np.random.SeedSequence([seed, len(info.name), nnz])
+        np.random.SeedSequence([seed, len(info.name), info.nnz])
     )
-    # oversample then dedupe to unique multi-indices
-    want = int(nnz * 1.08) + 64
-    idx = np.stack([rng.integers(0, s, want) for s in shape])
-    flat = np.ravel_multi_index(tuple(idx), shape)
-    _, keep = np.unique(flat, return_index=True)
-    keep = np.sort(keep)[:nnz]
-    if keep.size < nnz:  # pragma: no cover - astronomically unlikely
-        raise RuntimeError("dedup undershoot; raise the oversample factor")
-    idx = idx[:, keep]
+    sizes = _grid_sizes(shape, info.nnz)
+    subsets = [
+        np.sort(rng.choice(n, size=s, replace=False))
+        for n, s in zip(shape, sizes)
+    ]
+    nnz = int(np.prod(sizes))
+    mesh = np.meshgrid(*subsets, indexing="ij")
+    idx = np.stack([m.reshape(-1) for m in mesh])
 
     rank = 12
-    tt = TensorTrain.random(shape, rank, seed=seed + 7)
-    # decaying spectrum: scale interior-core columns so the tensor is
+    core_rng = np.random.default_rng(
+        np.random.SeedSequence([seed + 7, info.nnz])
+    )
+    cores = [core_rng.standard_normal((1, shape[0], rank)) / np.sqrt(rank)]
+    for n in shape[1:-1]:
+        cores.append(
+            core_rng.standard_normal((rank, n, rank)) / np.sqrt(rank)
+        )
+    cores.append(core_rng.standard_normal((rank, shape[-1], 1)))
+    # decaying spectrum: scale first-core columns so the tensor is
     # TT-compressible (like count data with a few dominant patterns)
     decay = np.exp(-np.arange(rank) / 2.0)
-    cores = [np.asarray(C) for C in tt.cores]
     cores[0] = cores[0] * decay[None, None, :]
-    tt = TensorTrain([c for c in cores])
 
-    vals = np.empty(nnz, np.float64)
-    chunk = 1 << 18
-    for lo in range(0, nnz, chunk):
-        hi = min(lo + chunk, nnz)
-        vals[lo:hi] = np.asarray(tt.gather(idx[:, lo:hi]))
+    # contract the sliced cores into the dense subgrid, then flatten in the
+    # same C order as the meshgrid above
+    v = cores[0][0, subsets[0], :]  # (s0, r)
+    for k in range(1, d):
+        v = np.tensordot(v, cores[k][:, subsets[k], :], axes=([-1], [0]))
+    vals = v.reshape(nnz)
     vals *= 1.0 + 0.1 * rng.standard_normal(nnz)
     return SparseTensor(shape, idx, vals)
 

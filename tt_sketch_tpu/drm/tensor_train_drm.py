@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 
 from tt_sketch_tpu.drm.base import (
@@ -34,12 +35,38 @@ from tt_sketch_tpu.formats.tensor_train import TensorTrain
 
 # -- chain steps (shared with the orthogonal/HMT incremental left sketch) ----
 
+# nnz chunk bound for the gathered (chunk, r1, r2) intermediate: TPU (8,128)
+# tiling pads the trailing two dims (r2→128, r1→8-multiple), so the unchunked
+# gather+einsum at FROSTT scale allocates ~27 GB for a logical 1.3 GB array.
+_SPARSE_CHAIN_CHUNK = 1 << 15
+
+
 def chain_step_sparse(state, core, indices_mu):
-    """Absorb one TT core at the sparse tensor's μ-th index row."""
-    core_slice = core[:, indices_mu, :]  # (r1, nnz, r2)
+    """Absorb one TT core at the sparse tensor's μ-th index row.
+
+    Chunked over nnz (one traced ``lax.scan`` body) above
+    ``_SPARSE_CHAIN_CHUNK`` — same bounding strategy as the sparse Ψ
+    kernel (kernels/sketch_kernels.py)."""
     if state is None:
-        return core_slice[0]  # first core has r1 == 1 -> (nnz, r2)
-    return jnp.einsum("ijk,ji->jk", core_slice, state)
+        return core[0, indices_mu, :]  # first core has r1 == 1 -> (nnz, r2)
+    nnz = indices_mu.shape[0]
+    if nnz <= _SPARSE_CHAIN_CHUNK:
+        core_slice = core[:, indices_mu, :]  # (r1, nnz, r2)
+        return jnp.einsum("ijk,ji->jk", core_slice, state)
+    C = _SPARSE_CHAIN_CHUNK
+    n_chunks = -(-nnz // C)
+    pad = n_chunks * C - nnz
+    idx = jnp.pad(indices_mu, (0, pad)).reshape(n_chunks, C)
+    st = jnp.pad(state, ((0, pad), (0, 0))).reshape(
+        n_chunks, C, state.shape[1]
+    )
+
+    def body(_, x):
+        i, s = x
+        return None, jnp.einsum("ijk,ji->jk", core[:, i, :], s)
+
+    _, out = jax.lax.scan(body, None, (idx, st))
+    return out.reshape(n_chunks * C, -1)[:nnz]
 
 
 def chain_step_tt(state, core, tensor_core):

@@ -370,6 +370,7 @@ def run_frostt(
     out: str = "results", quick: bool = False, progress=True,
     names: Optional[Sequence[str]] = None, cache_dir: str = "data",
     ranks: Optional[Sequence[int]] = None, n_runs: Optional[int] = None,
+    dtype: Optional[str] = None,
 ):
     """Sketch-and-sample-error on the FROSTT real-world sparse tensors
     (reference scripts/frostt.py:100-118).  Tensors must be cached locally
@@ -387,12 +388,20 @@ def run_frostt(
         load_frostt,
         sample_error,
     )
+    from tt_sketch_tpu.drm import SparseGaussianDRM
 
     if names is None:
         names = sorted(FROSTT_TENSORS)
     if ranks is None:
         ranks = [5] if quick else [5, 10, 20, 40]
     runs = range(n_runs) if n_runs else (range(1) if quick else range(5))
+    # dtype="float32" routes the sketch through the TPU fast path (Pallas
+    # counter RNG + one-hot MXU segment reduction); None keeps the f64
+    # accuracy default.  Recorded per row for provenance.
+    import numpy as _np
+
+    jdtype = _np.dtype(dtype) if dtype is not None else None
+    compiled = jdtype is not None
     exp = _exp(out, "frostt")
 
     def sample_error_func(tt, tensor):
@@ -404,17 +413,32 @@ def run_frostt(
         except (FileNotFoundError, KeyError) as e:
             print(f"[frostt] skipping {name!r}: {e}")
             continue
+        if jdtype is not None:
+            # Cast ONCE per dataset: f64 entries would promote every
+            # contraction back to emulated f64 on TPU (~1000x slower than
+            # the measured f32 fast path); int32 indices for the Pallas
+            # row generator.
+            import jax.numpy as _jnp
+
+            tensor = tensor.astype(jdtype, index_dtype=_jnp.int32)
         grid = list(itertools.product(ranks, runs))
         for rank, run in _maybe_tqdm(grid, f"frostt-{name}", progress):
+            # SparseGaussianDRM on both sides like the reference
+            # (scripts/frostt.py:101-104); on TPU f32 this is the Pallas
+            # counter-RNG + one-hot-MXU fast path end to end.
             exp.run(
                 tensor, "STTA", tasks.experiment_stream_sketch,
                 left_rank=rank, right_rank=2 * rank,
-                error_func=sample_error_func,
+                left_drm_type=SparseGaussianDRM,
+                right_drm_type=SparseGaussianDRM,
+                error_func=sample_error_func, dtype=jdtype,
+                compile=compiled,
                 dataset=name, run=run, seed=_seed_for(rank, run, 18),
             )
             exp.run(
                 tensor, "HMT", tasks.experiment_hmt_sketch,
-                rank=rank, error_func=sample_error_func,
+                rank=rank, drm_type=SparseGaussianDRM,
+                error_func=sample_error_func, dtype=jdtype,
                 dataset=name, run=run, seed=_seed_for(rank, run, 19),
             )
     return exp

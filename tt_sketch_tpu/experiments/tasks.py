@@ -45,6 +45,8 @@ def experiment_stream_sketch(
     seed: Optional[int] = None,
     error_func: ErrorFunc = None,
     recompression_rank: Optional[int] = None,
+    dtype=None,
+    compile: bool = False,
     **kwargs,
 ) -> Dict[str, Any]:
     start = time.perf_counter()
@@ -55,6 +57,8 @@ def experiment_stream_sketch(
         left_drm_type=left_drm_type,
         right_drm_type=right_drm_type,
         seed=seed,
+        dtype=dtype,
+        compile=compile,
     )
     tt = sketched.to_tt()
     if recompression_rank is not None:
@@ -71,6 +75,7 @@ def experiment_orthogonal_sketch(
     seed: Optional[int] = None,
     error_func: ErrorFunc = None,
     recompression_rank: Optional[int] = None,
+    dtype=None,
     **kwargs,
 ) -> Dict[str, Any]:
     start = time.perf_counter()
@@ -81,6 +86,7 @@ def experiment_orthogonal_sketch(
         left_drm_type=left_drm_type,
         right_drm_type=right_drm_type,
         seed=seed,
+        dtype=dtype,
     )
     if recompression_rank is not None:
         tt = tt.round(max_rank=recompression_rank)
@@ -94,10 +100,13 @@ def experiment_hmt_sketch(
     seed: Optional[int] = None,
     error_func: ErrorFunc = None,
     recompression_rank: Optional[int] = None,
+    dtype=None,
     **kwargs,
 ) -> Dict[str, Any]:
     start = time.perf_counter()
-    tt = hmt_sketch(input_tensor, rank=rank, drm_type=drm_type, seed=seed)
+    tt = hmt_sketch(
+        input_tensor, rank=rank, drm_type=drm_type, seed=seed, dtype=dtype
+    )
     if recompression_rank is not None:
         tt = tt.round(max_rank=recompression_rank)
     return _finish(tt, input_tensor, start, error_func)

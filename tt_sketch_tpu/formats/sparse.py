@@ -41,6 +41,17 @@ class SparseTensor(Tensor):
     def nnz(self) -> int:
         return int(self.entries.shape[0])
 
+    def astype(self, dtype, index_dtype=None) -> SparseTensor:
+        """Copy with ``entries`` cast to ``dtype`` (and optionally the
+        indices, e.g. int32 for the TPU fast path).  Required before
+        sketching with a reduced-precision DRM: mixed f64 entries would
+        otherwise promote every contraction back to (emulated) f64."""
+        indices = (
+            self.indices if index_dtype is None
+            else self.indices.astype(index_dtype)
+        )
+        return SparseTensor(self.shape, indices, self.entries.astype(dtype))
+
     @property
     def size(self) -> int:
         return self.nnz * (self.ndim + 1)
