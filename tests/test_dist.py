@@ -144,6 +144,23 @@ def test_sharded_dense_matches_single_chip():
 
 
 @needs_8
+def test_sharded_dense_indivisible_mode0():
+    """Mode 0 not divisible by the data axis: zero-padded slabs must be
+    exact (mirrors the sparse engine's ``_pad_nnz`` contract)."""
+    from tt_sketch_tpu.dist import sharded_dense_stream_sketch
+
+    shape = (11, 5, 6, 4)  # 11 % 8 != 0
+    X = jnp.asarray(np.random.default_rng(2).standard_normal(shape))
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    sharded = sharded_dense_stream_sketch(X, 3, 6, seed=11, mesh=mesh)
+    single = stream_sketch(
+        __import__("tt_sketch_tpu").DenseTensor(X), 3, 6,
+        left_drm=sharded.left_drm, right_drm=sharded.right_drm,
+    )
+    _assert_containers_close(sharded.sketch_, single.sketch_)
+
+
+@needs_8
 def test_sharded_dense_exact_recovery():
     from tt_sketch_tpu.dist import sharded_dense_stream_sketch
     from tt_sketch_tpu.formats import TensorTrain

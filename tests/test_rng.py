@@ -156,3 +156,27 @@ def test_lazy_gaussian_matrix_consistency():
     flat_rows = (grid[0] + 7 * grid[1]).astype(np.int64)
     dense = hr.lazy_gaussian_matrix(n_rows, prefix_shape, 0, 5, 21, backend="np")
     np.testing.assert_array_equal(dense[flat_rows], per_index)
+
+
+def test_is_tpu_single_predicate(monkeypatch):
+    """One predicate gates every TPU fast path: the one-hot segment
+    reduction and the Pallas RNG must follow ``config.is_tpu`` (two
+    divergent backend checks once split the fast path on nonstandard
+    platform registrations)."""
+    import jax.numpy as jnp
+
+    from tt_sketch_tpu import config
+    from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+    from tt_sketch_tpu.kernels.sketch_kernels import _use_onehot_segments
+
+    for forced, expected in (("1", True), ("0", False)):
+        monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", forced)
+        assert config.is_tpu() is expected
+        assert _use_onehot_segments(64) is expected
+        drm = SparseGaussianDRM(
+            3, shape=(4, 5, 6), transpose=False, seed=0, dtype=jnp.float32
+        )
+        assert drm._use_pallas() is expected
+    monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+    # unforced on the CPU test platform: not TPU
+    assert config.is_tpu() is False

@@ -105,23 +105,40 @@ def recover(tensor, left_rank, right_rank, drm_type, seed, method="stream"):
     raise ValueError(method)
 
 
+# Expected-capable DRMs per format (method-independent; probed exhaustively
+# and matching the reference capability matrix, sketch.py:476-490 /
+# tests/test_sketching_matrix.py:269-306).  Any other (fmt, DRM) pair MUST
+# raise — a silent skip here once masked a genuinely broken pair.
+CAPABLE = {
+    "tt": {TensorTrainDRM, DenseGaussianDRM},
+    "dense": {TensorTrainDRM, DenseGaussianDRM},
+    "sparse": {TensorTrainDRM, DenseGaussianDRM, SparseGaussianDRM, SparseSignDRM},
+    "cp": {TensorTrainDRM},
+    "tucker": {TensorTrainDRM},
+    "sum": {TensorTrainDRM, DenseGaussianDRM},  # sum of TTs
+}
+ALL_DRMS = [TensorTrainDRM, DenseGaussianDRM, SparseGaussianDRM, SparseSignDRM]
+
+
 @pytest.mark.parametrize("fmt", ["tt", "dense", "sparse", "cp", "tucker", "sum"])
 @pytest.mark.parametrize("method", ["stream", "orth", "hmt"])
 def test_exact_recovery(fmt, method):
-    """Sketch rank ≥ true rank ⇒ recovery to ~1e-9 relative error."""
+    """Sketch rank ≥ true rank ⇒ recovery to ~1e-9 relative error, for
+    every expected-capable DRM; expected-incapable DRMs must raise."""
     tensor = make_low_rank(fmt)
-    for drm_type in FMT_DRMS[fmt]:
-        if method == "hmt" and not issubclass(
-            drm_type, FMT_DRMS[fmt][0].__mro__[0]
-        ):
-            pass
-        try:
-            tt = recover(tensor, (3, 4, 3), (4, 6, 4), drm_type, seed=17, method=method)
-        except (AttributeError, ValueError):
-            # DRM lacks this format capability (e.g. SparseSign × hmt-left)
-            continue
-        err = tt.error(tensor, relative=True)
-        assert err < 1e-8, f"{fmt} {method} {drm_type.__name__}: err={err}"
+    for drm_type in ALL_DRMS:
+        if drm_type in CAPABLE[fmt]:
+            tt = recover(
+                tensor, (3, 4, 3), (4, 6, 4), drm_type, seed=17, method=method
+            )
+            err = tt.error(tensor, relative=True)
+            assert err < 1e-8, f"{fmt} {method} {drm_type.__name__}: err={err}"
+        else:
+            with pytest.raises(AttributeError):
+                recover(
+                    tensor, (3, 4, 3), (4, 6, 4), drm_type, seed=17,
+                    method=method,
+                )
 
 
 @pytest.mark.parametrize("method", ["stream", "orth", "hmt"])

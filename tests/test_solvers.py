@@ -106,3 +106,81 @@ def test_gmres_identity():
         A, b, max_rank=6, tolerance=1e-10, maxiter=5, rounding_method="exact"
     )
     assert x.error(b, relative=True) < 1e-8
+    assert history["converged"]
+
+
+def test_gmres_breakdown_honest():
+    """Arnoldi breakdown must not be reported as convergence.
+
+    With the zero map, ``w = A·ν₀ = 0`` breaks down immediately and the
+    Hessenberg is rank-deficient: ``np.linalg.lstsq`` returns an *empty*
+    residual array, which the round-2 code turned into ``residual = 0.0``
+    (false convergence).  The honest answer is residual == β (nothing was
+    solved) plus an explicit breakdown flag."""
+    shape = (3, 4, 3)
+    A = TTLinearMapSum([MPO.eye(shape) * 0.0])
+    b = TensorTrain.random(shape, rank=2, seed=0)
+    x, history = tt_sum_gmres(
+        A, b, max_rank=6, tolerance=1e-10, maxiter=5, rounding_method="exact"
+    )
+    assert history["breakdown"]
+    assert not history["converged"]
+    assert history["residual_norm"][-1] > 0.9  # nothing solved
+    assert len(history["delta"]) == 1  # stopped after the breakdown iter
+
+
+def test_tt_round_masked_matches_host():
+    """Masked static-rank rounding represents the identical tensor and
+    reports the same effective ranks as the host-sync eps-rounding."""
+    shape = (4, 5, 6, 3)
+    tts = [TensorTrain.random(shape, 3, seed=i) * (0.05 ** i) for i in range(3)]
+    tt = tts[0]
+    for t in tts[1:]:
+        tt = tt.add(t)
+    for eps in (1e-2, 1e-8, None):
+        host = tt.round(eps=eps, max_rank=7)
+        masked, eff = tt.round_masked(eps=eps, max_rank=7)
+        eff = np.asarray(eff)
+        if eps is not None:
+            assert tuple(int(r) for r in eff) == host.rank
+        np.testing.assert_allclose(
+            np.asarray(masked.to_dense()),
+            np.asarray(host.to_dense()),
+            atol=1e-12,
+        )
+        # slicing to the effective ranks is exact
+        trimmed = masked.trim_to_ranks(eff)
+        assert trimmed.rank == tuple(int(r) for r in eff)
+        np.testing.assert_allclose(
+            np.asarray(trimmed.to_dense()),
+            np.asarray(masked.to_dense()),
+            atol=0,
+        )
+
+
+@pytest.mark.parametrize("rounding", ["pairwise", "sketch"])
+def test_gmres_device_resident_parity(rounding):
+    """device_resident=True (masked rounding, bundled transfers) follows the
+    same trajectory as the eager host path."""
+    A, b, precond = prepare_synthetic_cookie_problem(
+        num_coeffs=3, num_cookies=2, n=12, seed=0
+    )
+    kw = dict(
+        max_rank=8,
+        precond=precond,
+        tolerance=1e-6,
+        maxiter=8,
+        rounding_method=rounding,
+        seed=123,
+    )
+    x_host, h_host = tt_sum_gmres(A, b, device_resident=False, **kw)
+    x_dev, h_dev = tt_sum_gmres(A, b, device_resident=True, **kw)
+    res_host = np.asarray(h_host["residual_norm"])
+    res_dev = np.asarray(h_dev["residual_norm"])
+    np.testing.assert_allclose(res_dev, res_host, rtol=1e-8, atol=1e-12)
+    assert x_dev.error(x_host, relative=True) < 1e-8
+    # masked rounding reports the same effective ranks for the in-loop
+    # (eps-rounded) iterates.  Entry 0 differs by design: the initial
+    # residual is rounded with eps=None, where the host path reports the
+    # padded static rank and the masked path the true effective rank.
+    assert h_dev["rank"][1:] == [tuple(r) for r in h_host["rank"][1:]]

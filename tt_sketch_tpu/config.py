@@ -45,3 +45,31 @@ DEFAULT_DTYPE = np.float64 if not os.environ.get("TT_SKETCH_TPU_NO_X64") else np
 
 def default_dtype():
     return DEFAULT_DTYPE
+
+
+def is_tpu() -> bool:
+    """Single predicate gating every TPU fast path (one-hot MXU segment
+    reduction, Pallas RNG, Jacobi SVD routing).
+
+    Nonstandard platform registrations (e.g. a tunneled TPU plugin named
+    something other than "tpu") can make ``jax.default_backend()`` and
+    ``jax.devices()[0].platform`` disagree; using two different predicates
+    in different modules silently split the fast path.  This helper checks
+    backend name, device platform, and device kind together, and can be
+    forced either way with ``TT_SKETCH_TPU_FORCE_TPU=0|1``.
+    """
+    forced = os.environ.get("TT_SKETCH_TPU_FORCE_TPU")
+    if forced is not None and forced != "":
+        return forced not in ("0", "false", "False")
+    try:
+        dev = jax.devices()[0]
+        text = " ".join(
+            [
+                jax.default_backend(),
+                getattr(dev, "platform", ""),
+                str(getattr(dev, "device_kind", "")),
+            ]
+        ).lower()
+    except Exception:
+        return False
+    return "tpu" in text

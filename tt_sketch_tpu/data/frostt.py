@@ -25,6 +25,13 @@ from tt_sketch_tpu.formats import SparseTensor
 
 DEFAULT_CACHE = Path("data")
 
+#: Generator version stamped into synthetic npz caches.  ``_synthesize``
+#: changed semantics in round 2 (uniform random support → Cartesian subgrid
+#: of a ground-truth TT); an unversioned pre-existing cache would silently
+#: keep serving the old incompressible tensor.  Bump on any change to
+#: ``_synthesize`` / ``_grid_sizes``.
+_SYNTH_VERSION = 2
+
 
 @dataclass(frozen=True)
 class FrosttInfo:
@@ -211,14 +218,21 @@ def load_frostt(
     if info.url.startswith("synthetic://"):
         npz_path = cache / f"{info.name}.npz"
 
+    synthetic = info.url.startswith("synthetic://")
     if npz_path.exists():
         with np.load(npz_path) as data:
-            return SparseTensor(
-                tuple(int(s) for s in data["shape"]),
-                data["indices"],
-                data["entries"],
+            cached_version = (
+                int(data["synth_version"]) if "synth_version" in data else 0
             )
-    if info.url.startswith("synthetic://"):
+            if not synthetic or cached_version == _SYNTH_VERSION:
+                return SparseTensor(
+                    tuple(int(s) for s in data["shape"]),
+                    data["indices"],
+                    data["entries"],
+                )
+        # stale synthetic cache from an older generator: regenerate below
+        npz_path.unlink()
+    if synthetic:
         tensor = _synthesize(info)
         cache.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
@@ -226,6 +240,7 @@ def load_frostt(
             indices=np.asarray(tensor.indices),
             entries=np.asarray(tensor.entries),
             shape=np.asarray(tensor.shape),
+            synth_version=np.asarray(_SYNTH_VERSION),
         )
         return tensor
     if not gz_path.exists():

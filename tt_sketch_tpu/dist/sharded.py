@@ -232,7 +232,10 @@ def sharded_dense_stream_sketch(
     Each device runs the bisected two-GEMM dense engine on its slab against
     the TT-DRM chains (its slab's rows of the mode-0 left core selected by
     ``axis_index``); by linearity the partial containers psum to the
-    single-chip result.  Mode 0 must be divisible by the data-axis size.
+    single-chip result.  An indivisible mode 0 is zero-padded to the next
+    data-axis multiple — exact, mirroring ``_pad_nnz`` (zero slabs
+    contribute zero to every Ψ/Ω term, and Ψ_0's padded rows are sliced off
+    after the reduction).
     """
     from tt_sketch_tpu.config import DEFAULT_DTYPE
     from tt_sketch_tpu.kernels.dense_engine import dense_stream_sketch_bisect
@@ -247,12 +250,9 @@ def sharded_dense_stream_sketch(
     right_seed = int(_derive_right_seed(seed, d) % (2 ** 32 - 1))
 
     n_data = mesh.shape[data_axis]
-    if shape[0] % n_data != 0:
-        raise ValueError(
-            f"mode 0 ({shape[0]}) must be divisible by the data axis size "
-            f"({n_data})"
-        )
-    slab = shape[0] // n_data
+    pad0 = -shape[0] % n_data
+    padded0 = shape[0] + pad0
+    slab = padded0 // n_data
 
     left_drm = TensorTrainDRM(
         left_rank, shape=shape, transpose=False, seed=left_seed, dtype=dtype
@@ -262,17 +262,23 @@ def sharded_dense_stream_sketch(
     )
     left_cores = [jnp.asarray(c, dtype) for c in left_drm.cores]
     right_cores = [jnp.asarray(c, dtype) for c in right_drm.cores]
+    core0_full = left_cores[0]
+    if pad0:
+        X = jnp.concatenate(
+            [jnp.asarray(X), jnp.zeros((pad0,) + shape[1:], X.dtype)], axis=0
+        )
+        core0_full = jnp.pad(core0_full, ((0, 0), (0, pad0), (0, 0)))
 
     def shard_fn(x_slab):
         i = jax.lax.axis_index(data_axis)
         core0 = jax.lax.dynamic_slice_in_dim(
-            left_cores[0], i * slab, slab, axis=1
+            core0_full, i * slab, slab, axis=1
         )
         psis, omegas = dense_stream_sketch_bisect(
             x_slab.astype(dtype), [core0] + left_cores[1:], right_cores
         )
         # Ψ_0 rows belong to this slab only: place at the slab offset.
-        full0 = jnp.zeros((1, shape[0], psis[0].shape[2]), dtype)
+        full0 = jnp.zeros((1, padded0, psis[0].shape[2]), dtype)
         psi0 = jax.lax.dynamic_update_slice(
             full0, psis[0], (jnp.int32(0), i * slab, jnp.int32(0))
         )
@@ -287,6 +293,7 @@ def sharded_dense_stream_sketch(
     from tt_sketch_tpu.dist.multihost import make_global
 
     Psi_cores, Omega_mats = fn(make_global(mesh, P(data_axis), X))
+    Psi_cores = (Psi_cores[0][:, : shape[0], :],) + tuple(Psi_cores[1:])
     container = SketchContainer(
         list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
     )

@@ -74,6 +74,6 @@ class SparseGaussianDRM(CansketchSparse, CanIncreaseRank):
             jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
         ):
             return False
-        import jax
+        from tt_sketch_tpu.config import is_tpu
 
-        return jax.devices()[0].platform == "tpu"
+        return is_tpu()

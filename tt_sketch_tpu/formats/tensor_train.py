@@ -82,6 +82,34 @@ class TensorTrain(Tensor):
             tt_ops.tt_round(self.cores, eps, max_rank, orthogonalized)
         )
 
+    def round_masked(
+        self,
+        eps: Optional[float] = None,
+        max_rank: Optional[TTRank] = None,
+        orthogonalized: bool = False,
+    ) -> Tuple["TensorTrain", jnp.ndarray]:
+        """Device-resident eps-rounding with static shapes (see
+        ``tt_ops.tt_round_masked``): returns ``(rounded, eff_ranks)`` where
+        ``eff_ranks`` is a device int array; entries beyond the effective
+        rank are exactly zero.  Use ``trim_to_ranks`` to slice down after a
+        single host readback."""
+        cores, eff = tt_ops.tt_round_masked(
+            self.cores, eps, max_rank, orthogonalized
+        )
+        return TensorTrain(cores), eff
+
+    def trim_to_ranks(self, ranks) -> "TensorTrain":
+        """Slice cores to the given (host) ranks — exact on masked TTs."""
+        return TensorTrain(tt_ops.tt_slice_to_ranks(self.cores, ranks))
+
+    def norm_device(self) -> jnp.ndarray:
+        """``norm()`` without the device→host sync (traced scalar)."""
+        return tt_ops.tt_norm_device(self.cores)
+
+    def dot_device(self, other: "TensorTrain") -> jnp.ndarray:
+        """TT-TT inner product without the host sync (traced scalar)."""
+        return tt_ops.tt_dot(self.cores, other.cores)
+
     def svdvals(self) -> List[np.ndarray]:
         return tt_ops.tt_svdvals(self.cores)
 

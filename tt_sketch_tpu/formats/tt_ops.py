@@ -74,6 +74,15 @@ def tt_norm(cores: Sequence[jnp.ndarray]) -> float:
     return float(jnp.linalg.norm(tt_orthogonalize(cores)[-1]))
 
 
+def tt_norm_device(cores: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """``tt_norm`` without the device→host sync — returns a traced scalar.
+
+    The device-resident GMRES loop bundles this into one per-iteration
+    transfer instead of syncing per norm (each readback is the known
+    multi-second hazard on a tunneled TPU backend)."""
+    return jnp.linalg.norm(tt_orthogonalize(cores)[-1])
+
+
 def tt_round(
     cores: Sequence[jnp.ndarray],
     eps: Optional[float] = None,
@@ -113,6 +122,81 @@ def tt_round(
         else:
             new_cores.append(C)
     return new_cores[::-1]
+
+
+def tt_round_masked(
+    cores: Sequence[jnp.ndarray],
+    eps: Optional[float] = None,
+    max_rank=None,
+    orthogonalized: bool = False,
+) -> Tuple[ArrayList, jnp.ndarray]:
+    """Device-resident eps-rounding: mask-based truncation, static shapes.
+
+    Same truncation rule as :func:`tt_round` (keep singular values above
+    ``S[0]·eps``, capped at ``max_rank``), but the data-dependent rank choice
+    stays on device: cores keep the *static* rank ``min(input rank bound,
+    max_rank)`` and entries beyond the eps-rank are zeroed (the masked
+    columns of ``U·S`` and rows of ``Vᵀ`` contribute exactly 0 to the
+    represented tensor, so values are identical to the sliced version).
+
+    Returns ``(new_cores, eff_ranks)`` where ``eff_ranks`` is a device
+    ``int32[d-1]`` of the effective (eps) ranks — read it back *once*, or
+    never; slicing core μ to ``[:eff[μ-1], :, :eff[μ]]`` afterwards is exact
+    (see :func:`tt_slice_to_ranks`).  This replaces the per-mode
+    ``np.asarray(S)`` readback of :func:`tt_round` (d host syncs per round —
+    the GMRES pairwise hot-path hazard on a tunneled TPU backend).
+    Reference truncation semantics: tensor.py:446-484.
+    """
+    cores = list(cores if orthogonalized else tt_orthogonalize(cores))
+    d = len(cores)
+    shape = tuple(int(C.shape[1]) for C in cores)
+    rank = tuple(int(C.shape[0]) for C in cores[1:])
+    if eps is None:
+        eps = 0.0
+    if max_rank is None:
+        max_rank = rank
+    max_rank = process_tt_rank(max_rank, shape, trim=True)
+
+    new_cores: ArrayList = []
+    eff_ranks: List[jnp.ndarray] = []
+    US_trunc: Optional[jnp.ndarray] = None
+    for mu in range(d - 1, -1, -1):
+        C = cores[mu]
+        if mu < d - 1:
+            C = jnp.einsum("ijk,kl->ijl", C, US_trunc)
+        if mu > 0:
+            mat = C.reshape(C.shape[0], C.shape[1] * C.shape[2])
+            U, S, Vt = _bsvd(mat)
+            r_s = min(
+                int(mat.shape[0]), int(mat.shape[1]), int(max_rank[mu - 1])
+            )
+            k = jnp.clip(jnp.sum(S > S[0] * eps), 1, r_s).astype(jnp.int32)
+            mask = (jnp.arange(r_s) < k).astype(U.dtype)
+            US_trunc = U[:, :r_s] * (S[:r_s] * mask)[None, :]
+            core = Vt[:r_s, :] * mask[:, None]
+            new_cores.append(core.reshape(r_s, C.shape[1], C.shape[2]))
+            eff_ranks.append(k)
+        else:
+            new_cores.append(C)
+    eff = (
+        jnp.stack(eff_ranks[::-1])
+        if eff_ranks
+        else jnp.zeros((0,), jnp.int32)
+    )
+    return new_cores[::-1], eff
+
+
+def tt_slice_to_ranks(cores: Sequence[jnp.ndarray], ranks) -> ArrayList:
+    """Slice each core to ``[:r[μ-1], :, :r[μ]]`` (host ranks).
+
+    Exact for the output of :func:`tt_round_masked`: the discarded row
+    slices are zero, and discarded column slices only ever multiply
+    discarded (zero) row slices of the next core."""
+    ranks = [int(r) for r in np.asarray(ranks)]
+    full = [1] + ranks + [1]
+    return [
+        C[: full[i], :, : full[i + 1]] for i, C in enumerate(cores)
+    ]
 
 
 def tt_round_fixed_rank(

@@ -42,10 +42,9 @@ def _segment_sum_onehot(outer, idx, n_mu):
 
 
 def _use_onehot_segments(n_mu: int) -> bool:
-    return (
-        n_mu <= _SPARSE_PSI_ONEHOT_MAX
-        and jax.default_backend() == "tpu"
-    )
+    from tt_sketch_tpu.config import is_tpu
+
+    return n_mu <= _SPARSE_PSI_ONEHOT_MAX and is_tpu()
 
 
 # -- dense -------------------------------------------------------------------
@@ -104,7 +103,10 @@ def sketch_omega_sparse(left_sketch, right_sketch, *, tensor, **kwargs):
     def body(om, x):
         return om + (x["l"] * x["e"]) @ x["r"].T, None
 
-    om0 = jnp.zeros((r1, r2), dtype=tensor.entries.dtype)
+    om0 = jnp.zeros(
+        (r1, r2),
+        dtype=jnp.result_type(left_sketch, right_sketch, tensor.entries),
+    )
     om, _ = jax.lax.scan(body, om0, xs)
     return om
 
@@ -164,7 +166,13 @@ def _psi_sparse_segment(left, right, entries, indices_mu, n_mu):
             None,
         )
 
-    psi0 = jnp.zeros((n_mu, r1, r2), dtype=entries.dtype)
+    psi0 = jnp.zeros(
+        (n_mu, r1, r2),
+        dtype=jnp.result_type(
+            entries,
+            *(s for s in (left, right) if s is not None),
+        ),
+    )
     psi, _ = jax.lax.scan(body, psi0, xs)
     return psi.transpose(1, 0, 2)
 

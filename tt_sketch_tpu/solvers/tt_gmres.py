@@ -191,6 +191,12 @@ class TTLinearMapSum:
 
 ROUNDING_MODE = Literal["exact", "pairwise", "sketch", "orth_sketch", None]
 
+#: Arnoldi (happy) breakdown threshold: ``H[j+1,j] <= _BREAKDOWN_TOL·β``
+#: means the new Krylov direction is numerically zero — the solution lies in
+#: the current subspace.  The reference would divide by ~0 and unpack a
+#: rank-deficient lstsq result (tt_gmres.py:404); we detect it explicitly.
+_BREAKDOWN_TOL = 1e-13
+
 
 def round_tt_sum(
     tt_sum: TensorSum,
@@ -241,6 +247,77 @@ def round_tt_sum(
     raise ValueError(f"Unknown rounding method: {method}")
 
 
+def _round_tt_sum_static(
+    tt_sum: TensorSum,
+    max_rank: TTRank,
+    eps=None,
+    method: ROUNDING_MODE = "sketch",
+    oversample_factor: float = 2,
+    seed: Optional[int] = None,
+) -> Tuple[TensorTrain, Optional[jnp.ndarray]]:
+    """``round_tt_sum`` with static output ranks and no host sync.
+
+    The SVD-based modes route through the masked device-resident rounding
+    (``tt_round_masked``): the returned TT has static ranks capped at
+    ``max_rank`` with entries beyond the data-dependent eps-rank exactly
+    zero, plus the effective ranks as a device array (``None`` for the
+    sketch modes, whose ranks are static anyway).  ``eps`` may be a traced
+    scalar.  This is the GMRES hot path on a tunneled TPU backend, where
+    ``round_tt_sum``'s per-mode singular-value readbacks each risk a
+    multi-second stall (see CLAUDE.md).
+    """
+    if isinstance(tt_sum, TensorTrain):
+        tt_sum = TensorSum([tt_sum])
+    if method == "exact":
+        tt = tt_sum.tensors[0]
+        for t in tt_sum.tensors[1:]:
+            tt = tt.add(t)
+        return tt.round_masked(eps, max_rank)
+    if method == "pairwise":
+        tt = tt_sum.tensors[0]
+        eff = None
+        for t in tt_sum.tensors[1:]:
+            tt, eff = tt.add(t).round_masked(eps, max_rank)
+        if eff is None:  # single summand: still round
+            tt, eff = tt.round_masked(eps, max_rank)
+        return tt, eff
+    return (
+        round_tt_sum(
+            tt_sum,
+            max_rank,
+            eps=None,
+            method=method,
+            oversample_factor=oversample_factor,
+            seed=seed,
+        ),
+        None,
+    )
+
+
+def _stacked_tt_dots(
+    w: TensorTrain, nus: List[TensorTrain]
+) -> jnp.ndarray:
+    """All inner products ``⟨w, ν_i⟩`` as one device array (no host sync).
+
+    When the ν share core shapes (always true under static-rank rounding),
+    the dots run as a single vmapped sweep; otherwise falls back to one
+    traced dot per ν (still zero readbacks)."""
+    from tt_sketch_tpu.formats import tt_ops
+
+    shapes = {tuple(C.shape for C in nu.cores) for nu in nus}
+    if len(shapes) == 1 and len(nus) > 1:
+        import jax
+
+        stacked = [
+            jnp.stack([nu.cores[mu] for nu in nus])
+            for mu in range(len(nus[0].cores))
+        ]
+        return jax.vmap(
+            lambda *cs: tt_ops.tt_dot(w.cores, list(cs))
+        )(*stacked)
+    return jnp.stack([w.dot_device(nu) for nu in nus])
+
+
 def tt_sum_gmres(
     A: TTLinearMapSum,
     b: TensorTrain,
@@ -256,6 +333,7 @@ def tt_sum_gmres(
     save_basis: bool = False,
     verbose: bool = False,
     seed: Optional[int] = None,
+    device_resident: Union[bool, str] = "auto",
 ) -> Tuple[TensorTrain, Dict[str, Any]]:
     """GMRES for a ``TTLinearMapSum`` with per-iteration rounding.
 
@@ -263,6 +341,16 @@ def tt_sum_gmres(
     ranks, per-step wall times and rounding tolerances (the observability
     contract of the reference, tt_gmres.py:366-431).  ``seed`` makes the
     sketched rounding deterministic (one derived seed per rounding call).
+
+    ``device_resident`` ("auto" = on TPU backends): route the SVD-based
+    rounding modes through the masked static-rank sweep and bundle each
+    iteration's Gram–Schmidt dots + norm + effective ranks into ONE
+    device→host transfer — the eager path makes O(j + d) syncs per
+    iteration, each a multi-second hazard through a TPU tunnel.  Arnoldi
+    breakdown (``H[j+1,j] ≈ 0``) is detected explicitly in both paths, and
+    the reported residual is always the explicit ``‖H_red·y − β·e₁‖`` (an
+    empty lstsq residual from a rank-deficient Hessenberg is *not*
+    convergence — the reference would crash there, tt_gmres.py:404).
     """
     if final_round_rank is None:
         final_round_rank = max_rank
@@ -278,13 +366,20 @@ def tt_sum_gmres(
     max_rank = process_tt_rank(max_rank, A.in_shape, trim=True)
     if x0 is None:
         x0 = TensorTrain.zero(shape=A.in_shape, rank=1)
+    if device_resident == "auto":
+        from tt_sketch_tpu.config import is_tpu
+
+        device_resident = is_tpu()
 
     _round_counter = [0]
 
     def _round(tt_sum, **kw):
+        """Round; returns ``(tt, eff_ranks_or_None)``."""
         _round_counter[0] += 1
         kw_seed = None if seed is None else seed + _round_counter[0]
-        return round_tt_sum(tt_sum, seed=kw_seed, **kw)
+        if device_resident:
+            return _round_tt_sum_static(tt_sum, seed=kw_seed, **kw)
+        return round_tt_sum(tt_sum, seed=kw_seed, **kw), None
 
     def apply_A_pr(x: TensorTrain) -> TensorSum:
         res = A(x)
@@ -297,22 +392,34 @@ def tt_sum_gmres(
     b_norm = b.norm()
     initial_time = perf_counter()
     residual = b_pr - apply_A_pr(x0)
-    residual_rounded = _round(
+    residual_rounded, eff0 = _round(
         residual, max_rank=max_rank, method=rounding_method
     )
     residual_norm = residual_rounded.norm()
     beta = residual_norm
+    if beta == 0.0:
+        history0: Dict[str, Any] = defaultdict(list)
+        history0["residual_norm"].append(0.0)
+        history0["converged"] = True
+        history0["total_time"] = perf_counter() - initial_time
+        return x0, history0
     nu_list: List[TensorTrain] = [residual_rounded / beta]
     H_matrix = np.zeros((maxiter + 1, maxiter))
 
     history: Dict[str, Any] = defaultdict(list)
-    history["w_norm"].append(nu_list[-1].norm())
-    history["rank"].append(residual_rounded.rank)
+    history["w_norm"].append(beta)
+    history["rank"].append(
+        tuple(int(r) for r in np.asarray(eff0))
+        if eff0 is not None
+        else residual_rounded.rank
+    )
     history["residual_norm"].append(residual_norm / b_norm)
     history["step_time"].append(perf_counter() - initial_time)
+    history["breakdown"] = False
+    history["converged"] = False
 
     y = np.zeros(0)
-    j = -1
+    n_nu = 1  # usable basis vectors (excludes a post-breakdown direction)
     for j in range(maxiter):
         current_time = perf_counter()
         delta = tolerance / (residual_norm / beta)
@@ -324,50 +431,87 @@ def tt_sum_gmres(
                 residual_norm / b_norm,
             )
         w_sum = apply_A_pr(nu_list[-1])
-        w_rounded = _round(
+        w_rounded, _ = _round(
             w_sum, eps=delta, max_rank=max_rank, method=rounding_method
         )
 
         min_j = max(0, j - 2) if symmetric else 0
-        for i in range(min_j, j + 1):
-            H_matrix[i, j] = w_rounded.dot(nu_list[i])
-
-        # Gram–Schmidt in TT arithmetic, then re-round
+        # Gram–Schmidt: all dots in one traced batch, subtraction with
+        # device-scalar coefficients, norm traced — then ONE bundled
+        # device→host transfer per iteration (dots, norm, eff ranks).
+        h_col = _stacked_tt_dots(w_rounded, nu_list[min_j: j + 1])
         w_sum = (
-            w_rounded
-            - TensorSum(nu_list[min_j: j + 1]) * H_matrix[min_j: j + 1, j]
+            w_rounded - TensorSum(nu_list[min_j: j + 1]) * h_col
         )
-        w_rounded = _round(
+        w_rounded, eff = _round(
             w_sum, eps=delta, max_rank=max_rank, method=rounding_method
         )
-        H_matrix[j + 1, j] = w_rounded.norm()
-        nu_list.append(w_rounded / H_matrix[j + 1, j])
+        h_next = w_rounded.norm_device()
+        bundle = [jnp.ravel(h_col), jnp.ravel(h_next)]
+        if eff is not None:
+            bundle.append(jnp.ravel(eff).astype(h_col.dtype))
+        vals = np.asarray(jnp.concatenate(bundle))
+        n_dots = j + 1 - min_j
+        H_matrix[min_j: j + 1, j] = vals[:n_dots]
+        H_matrix[j + 1, j] = vals[n_dots]
+        if eff is not None:
+            eff_ranks = tuple(int(r) for r in vals[n_dots + 1:])
+        else:
+            eff_ranks = w_rounded.rank
         history["step_time"].append(perf_counter() - current_time)
+
+        breakdown = not (H_matrix[j + 1, j] > _BREAKDOWN_TOL * beta)
+        if not breakdown:
+            nu_list.append(w_rounded / H_matrix[j + 1, j])
+            n_nu = j + 2
 
         H_red = H_matrix[: j + 2, : j + 1]
         e1 = np.zeros(j + 2)
         e1[0] = beta
-        y, res_sq, _, _ = np.linalg.lstsq(H_red, e1, rcond=None)
-        residual_norm = float(np.sqrt(res_sq[0])) if len(res_sq) else 0.0
+        y = np.linalg.lstsq(H_red, e1, rcond=None)[0]
+        # Explicit residual: honest under a rank-deficient Hessenberg
+        # (lstsq's residual array is empty there — reporting 0.0 would be
+        # false convergence on Arnoldi breakdown).
+        residual_norm = float(np.linalg.norm(H_red @ y - e1))
         history["step_time_with_res_norm"].append(perf_counter() - current_time)
         history["residual_norm"].append(residual_norm / b_norm)
-        history["rank"].append(w_rounded.rank)
+        history["rank"].append(eff_ranks)
         history["w_norm"].append(H_matrix[j + 1, j])
         history["delta"].append(delta)
 
         if residual_norm / b_norm < tolerance:
+            history["converged"] = True
+            break
+        if breakdown:
+            # Happy breakdown: Krylov space is exhausted.  The lstsq
+            # solution above is the best in the current subspace; if it
+            # did not meet the tolerance, more iterations cannot help.
+            history["breakdown"] = True
+            if verbose:
+                logging.info(
+                    "Arnoldi breakdown at iteration %d "
+                    "(H[j+1,j]=%.3e, beta=%.3e)",
+                    j + 1,
+                    H_matrix[j + 1, j],
+                    beta,
+                )
             break
 
-    y = y[: j + 1]
-    nu_list = nu_list[: j + 1]
+    n_y = min(len(y), n_nu)
+    y = y[:n_y]
+    nu_list = nu_list[:n_y]
     current_time = perf_counter()
     result = x0 + TensorSum(nu_list) * y
-    result_rounded = _round(
+    result_rounded, eff_final = _round(
         result,
         eps=None,
         max_rank=final_round_rank,
         method=rounding_method_final,
     )
+    if eff_final is not None:
+        result_rounded = result_rounded.trim_to_ranks(
+            np.asarray(eff_final)
+        )
     history["final_round_time"] = perf_counter() - current_time
     history["total_time"] = perf_counter() - initial_time
     if save_basis:
