@@ -35,6 +35,13 @@ def main() -> int:
     p.add_argument("--rank", type=int, default=10)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--platform", choices=["default", "cpu"], default="default")
+    p.add_argument(
+        "--no-plan", action="store_true",
+        help="disable the sorted/grouped psi plan (kernels/sparse_plan.py)",
+    )
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--rows-per-group", type=int, default=None)
+    p.add_argument("--threshold", type=int, default=512)
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -53,14 +60,32 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"platform={dev.platform} device={dev}", flush=True)
 
-    host = load_frostt(args.name, cache_dir="data", download=False)
+    t0 = time.perf_counter()
+    host = load_frostt(
+        args.name, cache_dir="data", download=False,
+        psi_plan=not args.no_plan,
+        plan_kwargs=dict(
+            threshold=args.threshold, chunk=args.chunk,
+            rows_per_group=args.rows_per_group,
+        ),
+    )
     nnz = host.nnz
     dtype = jnp.float32
+    if host.psi_plan is not None:
+        print(
+            f"loaded + psi plan in {time.perf_counter() - t0:.2f} s: "
+            + ", ".join(str(m) for m in host.psi_plan),
+            flush=True,
+        )
     # Move the COO data to device once, outside the timed region.
     tensor = SparseTensor(
         host.shape,
         jax.device_put(jnp.asarray(host.indices, jnp.int32), dev),
         jax.device_put(jnp.asarray(host.entries, dtype), dev),
+        psi_plan=(
+            None if host.psi_plan is None
+            else jax.device_put(host.psi_plan, dev)
+        ),
     )
     jax.block_until_ready((tensor.indices, tensor.entries))
     print(f"{args.name}: shape={tensor.shape} nnz={nnz}", flush=True)

@@ -1,0 +1,150 @@
+"""Sorted/grouped sparse-Ψ plan (kernels/sparse_plan.py): builder
+invariants + exactness of the grouped kernel against the plain segment
+path, standalone and end-to-end through the sketch engine.
+
+The reference has no analog (its sparse Ψ is a Python loop over the mode
+size, sparse_sketch.py:49-69); the contract here is purely internal:
+planned and unplanned sketches must agree to summation-order epsilon.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tt_sketch_tpu.drm import SparseGaussianDRM
+from tt_sketch_tpu.engine.sketch import hmt_sketch, stream_sketch
+from tt_sketch_tpu.formats import SparseTensor
+from tt_sketch_tpu.kernels.sketch_kernels import (
+    _psi_sparse_grouped,
+    _psi_sparse_segment,
+)
+from tt_sketch_tpu.kernels.sparse_plan import build_mode_plan, build_psi_plan
+
+
+def _mode_case(kind: str, rng):
+    if kind == "uniform":
+        nnz, n_mu = 5000, 700
+        idx = rng.integers(0, n_mu, nnz)
+    elif kind == "sparse-rows":
+        nnz, n_mu = 300, 4000  # most rows empty
+        idx = rng.integers(0, n_mu, nnz)
+    elif kind == "heavy-row":
+        nnz, n_mu = 4000, 600  # one row holds half the nnz -> group splits
+        idx = rng.integers(0, n_mu, nnz)
+        idx[: nnz // 2] = 17
+    else:  # skewed
+        nnz, n_mu = 2000, 900
+        idx = np.minimum((rng.pareto(1.0, nnz) * 30).astype(np.int64), n_mu - 1)
+    return idx, n_mu
+
+
+@pytest.mark.parametrize(
+    "kind", ["uniform", "sparse-rows", "heavy-row", "skewed"]
+)
+@pytest.mark.parametrize("geometry", [(None, None), (64, 8), (128, 16)])
+def test_builder_invariants(kind, geometry):
+    rng = np.random.default_rng(0)
+    idx, n_mu = _mode_case(kind, rng)
+    chunk, rows = geometry
+    plan = build_mode_plan(idx, n_mu, chunk=chunk, rows_per_group=rows)
+    ks = np.asarray(plan.k_start)
+    kc = np.asarray(plan.k_count)
+    # groups tile [0, nnz) exactly, in order
+    assert ks[0] == 0
+    np.testing.assert_array_equal(ks[1:], ks[:-1] + kc[:-1])
+    assert ks[-1] + kc[-1] == idx.shape[0]
+    assert kc.max() <= plan.chunk and kc.min() >= 1
+    # local indices stay inside the one-hot height
+    loc = np.asarray(plan.local_idx)
+    assert loc.min() >= 0 and loc.max() < plan.rows_per_group
+    # slot rows reconstruct the sorted mode indices
+    sidx = np.sort(idx)
+    group_of = np.repeat(np.arange(plan.n_groups), kc)
+    slot = np.asarray(plan.slot_rows).reshape(
+        plan.n_groups, plan.rows_per_group
+    )
+    np.testing.assert_array_equal(slot[group_of, loc], sidx)
+
+
+@pytest.mark.parametrize(
+    "kind", ["uniform", "sparse-rows", "heavy-row", "skewed"]
+)
+def test_grouped_matches_segment(kind):
+    rng = np.random.default_rng(1)
+    idx, n_mu = _mode_case(kind, rng)
+    nnz = idx.shape[0]
+    entries = jnp.asarray(rng.standard_normal(nnz))
+    left = jnp.asarray(rng.standard_normal((7, nnz)))
+    right = jnp.asarray(rng.standard_normal((11, nnz)))
+    plan = build_mode_plan(idx, n_mu, chunk=64, rows_per_group=8)
+    jidx = jnp.asarray(idx)
+    for ls, rs in [(left, right), (None, right), (left, None)]:
+        ref = _psi_sparse_segment(ls, rs, entries, jidx, n_mu)
+        got = _psi_sparse_grouped(ls, rs, entries, plan, n_mu)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+def test_planned_stream_sketch_matches_unplanned():
+    t = SparseTensor.random((40, 600, 30, 700), nnz=20000, seed=3)
+    tp = t.with_psi_plan(threshold=100)
+    assert [p is not None for p in tp.psi_plan] == [False, True, False, True]
+    for comp in (False, True):
+        a = stream_sketch(
+            t, left_rank=5, right_rank=10, seed=7, compile=comp,
+            left_drm_type=SparseGaussianDRM,
+            right_drm_type=SparseGaussianDRM,
+        )
+        b = stream_sketch(
+            tp, left_rank=5, right_rank=10, seed=7, compile=comp,
+            left_drm_type=SparseGaussianDRM,
+            right_drm_type=SparseGaussianDRM,
+        )
+        for P, Q in zip(a.sketch_.Psi_cores, b.sketch_.Psi_cores):
+            np.testing.assert_allclose(
+                np.asarray(P), np.asarray(Q), atol=1e-11
+            )
+        for O, W in zip(a.sketch_.Omega_mats, b.sketch_.Omega_mats):
+            np.testing.assert_allclose(
+                np.asarray(O), np.asarray(W), atol=1e-11
+            )
+
+
+def test_planned_hmt_matches_unplanned():
+    t = SparseTensor.random((30, 550, 40), nnz=8000, seed=5)
+    tp = t.with_psi_plan(threshold=100)
+    h1 = hmt_sketch(t, rank=4, seed=11, drm_type=SparseGaussianDRM)
+    h2 = hmt_sketch(tp, rank=4, seed=11, drm_type=SparseGaussianDRM)
+    for c1, c2 in zip(h1.cores, h2.cores):
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-10)
+
+
+def test_plan_travels_through_transforms():
+    t = SparseTensor.random((30, 550, 40), nnz=5000, seed=9)
+    tp = t.with_psi_plan(threshold=100)
+    flags = [p is not None for p in tp.psi_plan]
+    # .T reverses the per-mode plan tuple
+    assert [p is not None for p in tp.T.psi_plan] == flags[::-1]
+    # astype keeps it; split (nnz shards have new patterns) drops it
+    assert [p is not None for p in tp.astype(jnp.float32).psi_plan] == flags
+    for shard in tp.split(3).tensors:
+        assert shard.psi_plan is None
+    # scalar scaling keeps it (same nonzero pattern)
+    assert [p is not None for p in (tp * 2.0).psi_plan] == flags
+
+
+def test_exact_recovery_with_plan():
+    """A planned sparse tensor of true TT rank <= sketch rank recovers
+    exactly (the reference's core property, test_sketching_matrix.py:208)."""
+    from tt_sketch_tpu.formats import TensorTrain
+
+    shape = (20, 600, 25)
+    tt = TensorTrain.random(shape, rank=3, seed=21)
+    dense = np.asarray(tt.to_dense())
+    ind = np.stack(np.nonzero(np.abs(dense) > 0))
+    t = SparseTensor(
+        shape, ind, dense[tuple(ind)]
+    ).with_psi_plan(threshold=100)
+    st = stream_sketch(
+        t, left_rank=6, right_rank=12, seed=3,
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+    )
+    assert st.to_tt().error(t, fast=True) < 1e-8

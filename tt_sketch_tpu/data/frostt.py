@@ -83,6 +83,18 @@ FROSTT_TENSORS: Dict[str, FrosttInfo] = {
             3101609,
             (2482, 2862, 14036, 17),
         ),
+        # Scattered (i.i.d. index) support at lbnl-network's exact
+        # shape/nnz: a subgrid of a tensor with an 868131-sized mode would
+        # only have ~18 distinct values per mode, which exercises nothing.
+        # Scattered support has no low-rank structure (sample errors ~1 by
+        # construction) — this entry exists for the huge-mode kernel path
+        # and the throughput record, not for a compression story.
+        FrosttInfo(
+            "lbnl-synthetic",
+            "synthetic-scatter://lbnl-network",
+            1698825,
+            (1605, 4198, 1631, 4209, 868131),
+        ),
     ]
 }
 
@@ -105,8 +117,8 @@ def _grid_sizes(shape: Tuple[int, ...], nnz: int) -> Tuple[int, ...]:
     return tuple(sizes)
 
 
-def _synthesize(info: FrosttInfo, seed: int = 0) -> SparseTensor:
-    """Deterministic COO tensor at a real FROSTT tensor's scale.
+def _synthesize(info: FrosttInfo, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic COO data (indices, entries) at a real FROSTT scale.
 
     The nonzero pattern is a Cartesian subgrid (a random index subset per
     mode, product of sizes ≈ the real tensor's nnz), and the values are a
@@ -127,6 +139,14 @@ def _synthesize(info: FrosttInfo, seed: int = 0) -> SparseTensor:
     rng = np.random.default_rng(
         np.random.SeedSequence([seed, len(info.name), info.nnz])
     )
+    if info.url.startswith("synthetic-scatter://"):
+        # i.i.d. scattered support (see the registry note: exercises the
+        # huge-mode kernel path; carries no low-rank structure)
+        idx = np.stack(
+            [rng.integers(0, n, info.nnz) for n in shape]
+        ).astype(np.int64)
+        vals = rng.standard_normal(info.nnz)
+        return idx, vals
     sizes = _grid_sizes(shape, info.nnz)
     subsets = [
         np.sort(rng.choice(n, size=s, replace=False))
@@ -158,7 +178,7 @@ def _synthesize(info: FrosttInfo, seed: int = 0) -> SparseTensor:
         v = np.tensordot(v, cores[k][:, subsets[k], :], axes=([-1], [0]))
     vals = v.reshape(nnz)
     vals *= 1.0 + 0.1 * rng.standard_normal(nnz)
-    return SparseTensor(shape, idx, vals)
+    return idx, vals
 
 
 def parse_tns(path: Union[str, Path], shape: Optional[Tuple[int, ...]] = None
@@ -199,11 +219,19 @@ def load_frostt(
     name: str,
     cache_dir: Union[str, Path] = DEFAULT_CACHE,
     download: bool = True,
+    psi_plan: bool = False,
+    plan_kwargs: Optional[dict] = None,
 ) -> SparseTensor:
     """Load a FROSTT tensor by registry name, with npz caching.
 
     Resolution order: ``<cache>/<file>.npz`` → ``<cache>/<file>.tns.gz``
     (parsed then cached) → network download (if ``download``).
+
+    ``psi_plan=True`` attaches the sorted/grouped Ψ plans
+    (kernels/sparse_plan.py) built **from the host-side arrays before any
+    device transfer** — the supported way to get planned tensors on a
+    tunneled TPU backend, where a later device→host readback of the
+    indices can stall (CLAUDE.md).
     """
     if name not in FROSTT_TENSORS:
         raise KeyError(
@@ -215,17 +243,27 @@ def load_frostt(
     gz_path = cache / info.url.rsplit("/", 1)[-1]
     npz_path = gz_path.with_suffix("").with_suffix(".npz")
 
-    if info.url.startswith("synthetic://"):
+    if info.url.startswith(("synthetic://", "synthetic-scatter://")):
         npz_path = cache / f"{info.name}.npz"
 
-    synthetic = info.url.startswith("synthetic://")
+    def _mk(shape, np_indices, np_entries) -> SparseTensor:
+        plan = None
+        if psi_plan:
+            from tt_sketch_tpu.kernels.sparse_plan import build_psi_plan
+
+            plan = build_psi_plan(
+                np_indices, shape, **(plan_kwargs or {})
+            )
+        return SparseTensor(shape, np_indices, np_entries, psi_plan=plan)
+
+    synthetic = info.url.startswith(("synthetic://", "synthetic-scatter://"))
     if npz_path.exists():
         with np.load(npz_path) as data:
             cached_version = (
                 int(data["synth_version"]) if "synth_version" in data else 0
             )
             if not synthetic or cached_version == _SYNTH_VERSION:
-                return SparseTensor(
+                return _mk(
                     tuple(int(s) for s in data["shape"]),
                     data["indices"],
                     data["entries"],
@@ -233,16 +271,16 @@ def load_frostt(
         # stale synthetic cache from an older generator: regenerate below
         npz_path.unlink()
     if synthetic:
-        tensor = _synthesize(info)
+        np_indices, np_entries = _synthesize(info)
         cache.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
             npz_path,
-            indices=np.asarray(tensor.indices),
-            entries=np.asarray(tensor.entries),
-            shape=np.asarray(tensor.shape),
+            indices=np_indices,
+            entries=np_entries,
+            shape=np.asarray(info.shape),
             synth_version=np.asarray(_SYNTH_VERSION),
         )
-        return tensor
+        return _mk(info.shape, np_indices, np_entries)
     if not gz_path.exists():
         if not download:
             raise FileNotFoundError(
@@ -256,15 +294,19 @@ def load_frostt(
                 f"could not download {info.url} ({type(e).__name__}: {e}); "
                 f"in an offline environment place the file at {gz_path}"
             ) from e
-    tensor = parse_tns(gz_path, info.shape)
+    opener = gzip.open if gz_path.suffix == ".gz" else open
+    with opener(gz_path, "rb") as f:
+        mat = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    np_indices = mat[:, :-1].astype(np.int64).T - 1
+    np_entries = np.ascontiguousarray(mat[:, -1])
     cache.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
         npz_path,
-        indices=np.asarray(tensor.indices),
-        entries=np.asarray(tensor.entries),
-        shape=np.asarray(tensor.shape),
+        indices=np_indices,
+        entries=np_entries,
+        shape=np.asarray(info.shape),
     )
-    return tensor
+    return _mk(info.shape, np_indices, np_entries)
 
 
 def sample_error(tt, tensor: SparseTensor, n_samples: int = 10_000,

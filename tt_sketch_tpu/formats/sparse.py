@@ -19,23 +19,50 @@ from tt_sketch_tpu.utils import random_normal
 
 @jax.tree_util.register_pytree_node_class
 class SparseTensor(Tensor):
-    def __init__(self, shape: Tuple[int, ...], indices, entries) -> None:
+    def __init__(
+        self, shape: Tuple[int, ...], indices, entries, psi_plan=None
+    ) -> None:
         if isinstance(indices, (tuple, list)):
             indices = np.stack([np.asarray(i) for i in indices])
         self.shape = tuple(int(s) for s in shape)
         self.indices = jnp.asarray(indices)
         self.entries = jnp.asarray(entries)
+        #: Optional per-mode sort/group plans for the Ψ segment reduction
+        #: (kernels/sparse_plan.py); None per mode = plain path.
+        self.psi_plan = psi_plan
 
     def tree_flatten(self):
-        return (self.indices, self.entries), self.shape
+        return (self.indices, self.entries, self.psi_plan), self.shape
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux, children[0], children[1])
+        return cls(aux, children[0], children[1], psi_plan=children[2])
+
+    def with_psi_plan(
+        self, indices=None, threshold: int = 512, **plan_kwargs
+    ) -> SparseTensor:
+        """Copy with sort/group Ψ plans attached (kernels/sparse_plan.py).
+
+        ``indices`` may pass host-side NumPy indices to avoid a device→host
+        readback; by default ``self.indices`` is pulled to the host (cheap
+        on CPU, a known hazard through the tunneled TPU backend).
+        """
+        from tt_sketch_tpu.kernels.sparse_plan import build_psi_plan
+
+        host_indices = np.asarray(
+            self.indices if indices is None else indices
+        )
+        plan = build_psi_plan(
+            host_indices, self.shape, threshold=threshold, **plan_kwargs
+        )
+        return SparseTensor(self.shape, self.indices, self.entries, plan)
 
     @property
     def T(self) -> SparseTensor:
-        return SparseTensor(self.shape[::-1], self.indices[::-1], self.entries)
+        plan = None if self.psi_plan is None else self.psi_plan[::-1]
+        return SparseTensor(
+            self.shape[::-1], self.indices[::-1], self.entries, plan
+        )
 
     @property
     def nnz(self) -> int:
@@ -50,7 +77,9 @@ class SparseTensor(Tensor):
             self.indices if index_dtype is None
             else self.indices.astype(index_dtype)
         )
-        return SparseTensor(self.shape, indices, self.entries.astype(dtype))
+        return SparseTensor(
+            self.shape, indices, self.entries.astype(dtype), self.psi_plan
+        )
 
     @property
     def size(self) -> int:
@@ -102,7 +131,9 @@ class SparseTensor(Tensor):
         return jnp.where(hit, sorted_entries[pos], 0.0)
 
     def __mul__(self, other: float) -> SparseTensor:
-        return SparseTensor(self.shape, self.indices, self.entries * other)
+        return SparseTensor(
+            self.shape, self.indices, self.entries * other, self.psi_plan
+        )
 
     def __repr__(self) -> str:
         return (

@@ -111,6 +111,73 @@ def sketch_omega_sparse(left_sketch, right_sketch, *, tensor, **kwargs):
     return om
 
 
+def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
+    """Ψ segment reduction over a sort/group plan (kernels/sparse_plan.py).
+
+    The nnz stream is pre-sorted by the mode index; each group covers at
+    most ``plan.chunk`` nnz spanning at most ``plan.rows_per_group`` rows,
+    so the one-hot contraction is a tiny local block instead of the full
+    ``(n_mu, chunk)`` matrix — FLOPs per nnz drop from n_mu·r1·r2 to
+    rows_per_group·r1·r2, independent of the mode size (the non-scatter
+    path for FROSTT lbnl-network's 868131-sized mode).  Group slabs are
+    combined by one small scatter-add; heavy rows split across groups sum
+    exactly, padding slots contribute exact zeros.
+    """
+    r1 = left.shape[0] if left is not None else 1
+    r2 = right.shape[0] if right is not None else 1
+    dtype = jnp.result_type(
+        entries, *(s for s in (left, right) if s is not None)
+    )
+    nnz = entries.shape[0]
+    se = entries[plan.perm]
+    sl = left[:, plan.perm] if left is not None else None
+    sr = right[:, plan.perm] if right is not None else None
+    sloc = plan.local_idx
+
+    G = int(group_batch)
+    ng = plan.n_groups
+    NB, C = plan.rows_per_group, plan.chunk
+    n_steps = -(-ng // G)
+    padg = n_steps * G - ng
+    xs = {
+        "s": jnp.pad(plan.k_start, (0, padg)).reshape(n_steps, G),
+        "c": jnp.pad(plan.k_count, (0, padg)).reshape(n_steps, G),
+    }
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    iota_b = jnp.arange(NB, dtype=jnp.int32)
+
+    def body(_, x):
+        cols = jnp.minimum(x["s"][:, None] + iota_c[None, :], nnz - 1)
+        valid = iota_c[None, :] < x["c"][:, None]  # (G, C)
+        loc = jnp.take(sloc, cols, axis=0)  # (G, C)
+        onehot = (
+            (iota_b[None, :, None] == loc[:, None, :]) & valid[:, None, :]
+        ).astype(dtype)  # (G, NB, C)
+        e = jnp.take(se, cols, axis=0)  # (G, C)
+        if sl is not None:
+            le = jnp.take(sl, cols, axis=1) * e[None]  # (r1, G, C)
+        else:
+            le = e[None]
+        if sr is not None:
+            rw = jnp.take(sr, cols, axis=1)  # (r2, G, C)
+            outer = le[:, None] * rw[None, :]  # (r1, r2, G, C)
+        else:
+            outer = le[:, None]
+        outer = outer.transpose(2, 3, 0, 1).reshape(G, C, r1 * r2)
+        return None, jnp.einsum("gbc,gcr->gbr", onehot, outer)
+
+    _, slabs = jax.lax.scan(body, None, xs)  # (n_steps, G, NB, r1r2)
+    slot_rows = jnp.pad(
+        plan.slot_rows, (0, padg * NB), constant_values=n_mu
+    )
+    psi = (
+        jnp.zeros((n_mu, r1 * r2), dtype=dtype)
+        .at[slot_rows]
+        .add(slabs.reshape(-1, r1 * r2), mode="drop")
+    )
+    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2)
+
+
 def _psi_sparse_segment(left, right, entries, indices_mu, n_mu):
     """Σ_k  e_{ind[k]} ⊗ (left[:,k]·entries[k]) ⊗ right[:,k] via segment_sum,
     chunked over nnz.
@@ -180,6 +247,15 @@ def _psi_sparse_segment(left, right, entries, indices_mu, n_mu):
 def sketch_psi_sparse(
     left_sketch, right_sketch, *, tensor, mu, psi_shape, **kwargs
 ):
+    plan = getattr(tensor, "psi_plan", None)
+    if plan is not None and plan[mu] is not None:
+        return _psi_sparse_grouped(
+            left_sketch,
+            right_sketch,
+            tensor.entries,
+            plan[mu],
+            psi_shape[1],
+        )
     return _psi_sparse_segment(
         left_sketch,
         right_sketch,
