@@ -40,7 +40,6 @@ def main() -> int:
         help="disable the sorted/grouped psi plan (kernels/sparse_plan.py)",
     )
     p.add_argument("--chunk", type=int, default=None)
-    p.add_argument("--rows-per-group", type=int, default=None)
     p.add_argument("--threshold", type=int, default=512)
     args = p.parse_args()
 
@@ -64,10 +63,7 @@ def main() -> int:
     host = load_frostt(
         args.name, cache_dir="data", download=False,
         psi_plan=not args.no_plan,
-        plan_kwargs=dict(
-            threshold=args.threshold, chunk=args.chunk,
-            rows_per_group=args.rows_per_group,
-        ),
+        plan_kwargs=dict(threshold=args.threshold, chunk=args.chunk),
     )
     nnz = host.nnz
     dtype = jnp.float32

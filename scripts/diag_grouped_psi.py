@@ -1,9 +1,8 @@
-"""Stage-by-stage timing of the grouped sparse-Ψ path on the real chip.
+"""Stage-by-stage timing of the equal-chunk sparse-Ψ path on the chip.
 
-Isolates: (a) the column-permutation gathers, (b) the scan of windowed
-local one-hot GEMMs, (c) the scatter combine, (d) the Pallas RNG kernel at
-several tile sizes.  Timing protocol per CLAUDE.md: queue ``reps`` calls,
-fence with one scalar readback, subtract fence cost.
+Isolates: the Pallas slab kernel, the scatter combine, the permutation
+gathers, the full grouped kernel, and the legacy one-hot path for the same
+mode.  Queue-5 + one-fence protocol (CLAUDE.md).
 """
 from __future__ import annotations
 
@@ -16,16 +15,20 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timed(fn, fence, reps=5):
-    fn()  # compile
-    t0 = time.perf_counter()
-    _ = float(fence())
-    fence_cost = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        fn()
-    _ = float(fence())
-    return (time.perf_counter() - t0 - fence_cost) / reps
+def make_timer(fence_fn):
+    def timed(fn, reps=5):
+        out = fn()  # compile
+        import jax
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        _ = fence_fn(out)
+        fence_cost = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        _ = fence_fn(out)
+        return (time.perf_counter() - t0 - fence_cost) / reps
+    return timed
 
 
 def main() -> int:
@@ -40,8 +43,11 @@ def main() -> int:
     import numpy as np
 
     from tt_sketch_tpu.data.frostt import load_frostt
-    from tt_sketch_tpu.kernels.sketch_kernels import _psi_sparse_grouped
-    from tt_sketch_tpu.kernels.pallas_rng import lazy_gaussian_pallas
+    from tt_sketch_tpu.kernels.sketch_kernels import (
+        _psi_sparse_grouped,
+        _psi_sparse_segment,
+    )
+    from tt_sketch_tpu.kernels.pallas_psi import psi_chunk_slabs
 
     dev = jax.devices()[0]
     print(f"platform={dev.platform}", flush=True)
@@ -62,65 +68,54 @@ def main() -> int:
         jax.random.normal(key, (r2, nnz), jnp.float32), dev)
     entries = jax.device_put(
         jnp.asarray(np.asarray(host.entries), jnp.float32), dev)
-    out_sink = [None]
 
-    def fence():
-        return jnp.sum(out_sink[0]).astype(jnp.float32)
+    def fence(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        return float(jnp.sum(leaves[0].astype(jnp.float32)[:64]))
 
-    # (a) permutation gather, column layout vs row layout
-    permf = jax.jit(lambda l, p: l[:, p])
-    left_t = left.T
-    permf_row = jax.jit(lambda l, p: l[p])
+    timed = make_timer(fence)
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
+    padn = nc * C - nnz
 
-    def run_perm():
-        out_sink[0] = permf(left, plan.perm)
-    t = timed(run_perm, fence)
-    print(f"perm gather cols (r1={r1}, nnz): {t*1e3:8.2f} ms", flush=True)
+    # pre-sorted, pre-padded streams
+    prep = jax.jit(lambda l, r, e: (
+        jnp.pad(l[:, plan.perm], ((0, 0), (0, padn))),
+        jnp.pad(r[:, plan.perm], ((0, 0), (0, padn))),
+        jnp.pad(e[plan.perm], (0, padn)),
+    ))
+    sl, sr, se = prep(left, right, entries)
+    jax.block_until_ready((sl, sr, se))
 
-    def run_perm_row():
-        out_sink[0] = permf_row(left_t, plan.perm)
-    t = timed(run_perm_row, fence)
-    print(f"perm gather rows (nnz, r1={r1}): {t*1e3:8.2f} ms", flush=True)
+    t = timed(lambda: prep(left, right, entries))
+    print(f"perm gathers + pad (30 rows):  {t*1e3:8.2f} ms", flush=True)
 
-    # (b+c) full grouped kernel from unsorted inputs
+    slab_fn = jax.jit(partial(
+        psi_chunk_slabs, n_chunks=nc, span=S, chunk=C))
+    t = timed(lambda: slab_fn(plan.local_idx, se, sl, sr))
+    print(f"pallas slab kernel:            {t*1e3:8.2f} ms", flush=True)
+
+    slabs = slab_fn(plan.local_idx, se, sl, sr)
+    jax.block_until_ready(slabs)
+
+    @jax.jit
+    def combine(slabs):
+        return (
+            jnp.zeros((n_mu, r1 * r2), jnp.float32)
+            .at[plan.slot_rows]
+            .add(slabs.reshape(nc * S, r1 * r2), mode="drop")
+        )
+    t = timed(lambda: combine(slabs))
+    print(f"scatter combine:               {t*1e3:8.2f} ms", flush=True)
+
     gk = jax.jit(partial(_psi_sparse_grouped, n_mu=n_mu))
+    t = timed(lambda: gk(left, right, entries, plan))
+    print(f"grouped psi end-to-end:        {t*1e3:8.2f} ms", flush=True)
 
-    def run_grouped():
-        out_sink[0] = gk(left, right, entries, plan)
-    t = timed(run_grouped, fence)
-    print(f"grouped psi total:            {t*1e3:8.2f} ms", flush=True)
-
-    # (b) scan only: pre-sorted inputs, identity perm plan
-    idplan = jax.tree_util.tree_map(lambda x: x, plan)
-    sl = jax.device_put(np.asarray(permf(left, plan.perm)), dev)
-    sr = jax.device_put(np.asarray(permf(right, plan.perm)), dev)
-    se = jax.device_put(np.asarray(entries[plan.perm]), dev)
-    iperm = jax.device_put(jnp.arange(nnz, dtype=jnp.int32), dev)
-    from tt_sketch_tpu.kernels.sparse_plan import ModePlan
-    idplan = ModePlan(iperm, plan.local_idx, plan.k_start, plan.k_count,
-                      plan.slot_rows, plan.n_groups, plan.rows_per_group,
-                      plan.chunk)
-    gk2 = jax.jit(partial(_psi_sparse_grouped, n_mu=n_mu))
-
-    def run_scan():
-        out_sink[0] = gk2(sl, sr, se, idplan)
-    t = timed(run_scan, fence)
-    print(f"grouped psi, identity perm:   {t*1e3:8.2f} ms", flush=True)
-
-    # (d) RNG tiles
-    flat = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).integers(0, 1 << 40, nnz),
-                    jnp.uint64), dev)
-    for tile in (512, 2048, 8192, 32768):
-        f = jax.jit(lambda fl, t=tile: lazy_gaussian_pallas(
-            fl, 0, r1, 12345, tile_n=t))
-
-        def run_rng(f=f):
-            out_sink[0] = f(flat)
-        t = timed(run_rng, fence)
-        rate = nnz * r1 / t / 1e9
-        print(f"pallas rng tile={tile:6d}:      {t*1e3:8.2f} ms "
-              f"({rate:6.1f} G samples/s)", flush=True)
+    jidx = jax.device_put(
+        jnp.asarray(np.asarray(host.indices)[mu], jnp.int32), dev)
+    seg = jax.jit(partial(_psi_sparse_segment, n_mu=n_mu))
+    t = timed(lambda: seg(left, right, entries, jidx))
+    print(f"legacy one-hot segment path:   {t*1e3:8.2f} ms", flush=True)
     return 0
 
 

@@ -54,6 +54,17 @@ def is_uniform(tt: TensorTrain) -> bool:
     return len(shapes) == 1
 
 
+def _hash_normal_rows(start: int, count: int, cols: int, seed, dtype):
+    """(count, cols) standard normals from the library's counter-based hash
+    family (rng/hash_rng.inds_to_normal) at global row counters
+    ``start .. start+count`` — the same generator the DRM stack ships, so
+    uniform-engine records exercise it too.  Requires x64 (u64 hash)."""
+    from tt_sketch_tpu.rng.hash_rng import inds_to_normal
+
+    ids = jnp.arange(start, start + count, dtype=jnp.uint64)[None, :]
+    return inds_to_normal(ids, (start + count,), 0, cols, seed, dtype=dtype)
+
+
 def uniform_random_tt(
     d: int,
     n: int,
@@ -61,13 +72,34 @@ def uniform_random_tt(
     seed: int,
     norm_goal: str = "norm-1",
     dtype=jnp.float64,
+    stream: str = "jax",
 ):
-    """Stacked random TT via JAX PRNG (one fused generation for any d)."""
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    first = jax.random.normal(k1, (1, n, rank), dtype)
-    interior = jax.random.normal(k2, (d - 2, rank, n, rank), dtype)
-    last = jax.random.normal(k3, (rank, n, 1), dtype)
+    """Stacked random TT (one fused generation for any d).
+
+    ``stream="jax"``: JAX PRNG — the on-device throughput default.
+    ``stream="hash"``: the library's counter-based hash family
+    (rng/hash_rng.py), at consecutive global row counters with per-column
+    salts — the stream every DRM in the package uses; the order-scaling
+    experiment record runs this mode so its DRMs match the shipped
+    generator (needs x64 for the u64 hash).
+    """
+    if stream == "hash":
+        n_int = (d - 2) * rank * n
+        first = _hash_normal_rows(0, n, rank, seed, dtype).reshape(1, n, rank)
+        interior = _hash_normal_rows(n, n_int, rank, seed, dtype).reshape(
+            d - 2, rank, n, rank
+        )
+        last = _hash_normal_rows(n + n_int, rank * n, 1, seed, dtype).reshape(
+            rank, n, 1
+        )
+    elif stream == "jax":
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        first = jax.random.normal(k1, (1, n, rank), dtype)
+        interior = jax.random.normal(k2, (d - 2, rank, n, rank), dtype)
+        last = jax.random.normal(k3, (rank, n, 1), dtype)
+    else:
+        raise ValueError(f"unknown stream {stream!r}")
     if norm_goal == "norm-1":
         first = first / float(np.sqrt(n))
         interior = interior / float(np.sqrt(rank * n))
@@ -217,12 +249,14 @@ def uniform_stream_sketch(
     right_rank: int,
     seed: int,
     dtype=None,
+    drm_stream: str = "jax",
 ) -> Tuple[TensorTrain, tuple]:
     """High-level uniform STTA: sketch + recovery, all scans.
 
-    DRM cores are generated with the JAX PRNG (norm-preserving, like
-    ``TensorTrainDRM``'s distribution; a different stream than the numpy
-    path — document as such).  Returns the recovered TensorTrain.
+    DRM cores are norm-preserving random TTs (``TensorTrainDRM``'s
+    distribution) from ``drm_stream``: "jax" (on-device PRNG, throughput
+    default) or "hash" (the library's counter-based generator — the mode
+    the order-scaling record uses).  Returns the recovered TensorTrain.
     """
     first, interior, last = stack_tt(tt)
     dtype = dtype or first.dtype
@@ -232,11 +266,12 @@ def uniform_stream_sketch(
     from tt_sketch_tpu.engine.sketch import _derive_right_seed
 
     Yf, Yi, _ = uniform_random_tt(
-        d, n, left_rank, seed, norm_goal="norm-preserve", dtype=dtype
+        d, n, left_rank, seed, norm_goal="norm-preserve", dtype=dtype,
+        stream=drm_stream,
     )
     Zf, Zi, _ = uniform_random_tt(
         d, n, right_rank, _derive_right_seed(seed, d),
-        norm_goal="norm-preserve", dtype=dtype,
+        norm_goal="norm-preserve", dtype=dtype, stream=drm_stream,
     )
     # DRM needs d-1 cores: (first, interior) with interior length d-2 covers
     # modes 0..d-2; drop nothing (uniform_random_tt returns d-2 interiors, so
@@ -433,14 +468,16 @@ def uniform_hmt_sketch_stacked(X, Z):
 
 
 def uniform_hmt_sketch(
-    tt: TensorTrain, rank: int, seed: int, dtype=None
+    tt: TensorTrain, rank: int, seed: int, dtype=None,
+    drm_stream: str = "jax",
 ) -> TensorTrain:
     first, interior, last = stack_tt(tt)
     dtype = dtype or first.dtype
     d = interior.shape[0] + 2
     n = first.shape[1]
     Zf, Zi, _ = uniform_random_tt(
-        d, n, rank, seed, norm_goal="norm-preserve", dtype=dtype
+        d, n, rank, seed, norm_goal="norm-preserve", dtype=dtype,
+        stream=drm_stream,
     )
     X = (first.astype(dtype), interior.astype(dtype), last.astype(dtype))
     rec = uniform_hmt_sketch_stacked(X, (Zf, Zi))

@@ -154,15 +154,18 @@ def run_dimension_scaling(
         # is far below the plotted error spread
         order_runs = range(2) if (not quick and order >= 2048) else runs
         for run in order_runs:
+            # drm_stream="hash": the record exercises the library's own
+            # counter-based DRM generator (engine/uniform.py), not raw
+            # jax.random (earlier rows without the tag used the jax stream).
             exp.run(
                 stacked, "STTA", tasks.experiment_uniform_stream_sketch,
                 left_rank=rank, right_rank=2 * rank,
-                recompression_rank=recomp,
+                recompression_rank=recomp, drm_stream="hash",
                 order=order, dim=dim, run=run, seed=_seed_for(order, run, 4),
             )
             exp.run(
                 stacked, "HMT", tasks.experiment_uniform_hmt_sketch,
-                rank=rank, recompression_rank=recomp,
+                rank=rank, recompression_rank=recomp, drm_stream="hash",
                 order=order, dim=dim, run=run, seed=_seed_for(order, run, 5),
             )
     return exp

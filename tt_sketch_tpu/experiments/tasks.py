@@ -143,11 +143,14 @@ def experiment_uniform_stream_sketch(
     right_rank=None,
     recompression_rank=None,
     seed: int = 0,
+    drm_stream: str = "jax",
     **kwargs,
 ) -> Dict[str, Any]:
     tt = uni.unstack_tt(*stacked)
     start = time.perf_counter()
-    rec, _ = uni.uniform_stream_sketch(tt, left_rank, right_rank, seed=seed)
+    rec, _ = uni.uniform_stream_sketch(
+        tt, left_rank, right_rank, seed=seed, drm_stream=drm_stream
+    )
     out = uni.stack_tt(rec)
     if recompression_rank is not None:
         out = uni.uniform_round_fixed(*out, max_rank=recompression_rank)
@@ -162,11 +165,12 @@ def experiment_uniform_hmt_sketch(
     rank=None,
     recompression_rank=None,
     seed: int = 0,
+    drm_stream: str = "jax",
     **kwargs,
 ) -> Dict[str, Any]:
     tt = uni.unstack_tt(*stacked)
     start = time.perf_counter()
-    rec = uni.uniform_hmt_sketch(tt, rank, seed=seed)
+    rec = uni.uniform_hmt_sketch(tt, rank, seed=seed, drm_stream=drm_stream)
     out = uni.stack_tt(rec)
     if recompression_rank is not None:
         out = uni.uniform_round_fixed(*out, max_rank=recompression_rank)

@@ -111,17 +111,29 @@ def sketch_omega_sparse(left_sketch, right_sketch, *, tensor, **kwargs):
     return om
 
 
-def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
-    """Ψ segment reduction over a sort/group plan (kernels/sparse_plan.py).
+def _use_pallas_psi(dtype) -> bool:
+    from tt_sketch_tpu.config import is_tpu
 
-    The nnz stream is pre-sorted by the mode index; each group covers at
-    most ``plan.chunk`` nnz spanning at most ``plan.rows_per_group`` rows,
-    so the one-hot contraction is a tiny local block instead of the full
-    ``(n_mu, chunk)`` matrix — FLOPs per nnz drop from n_mu·r1·r2 to
-    rows_per_group·r1·r2, independent of the mode size (the non-scatter
-    path for FROSTT lbnl-network's 868131-sized mode).  Group slabs are
-    combined by one small scatter-add; heavy rows split across groups sum
-    exactly, padding slots contribute exact zeros.
+    return is_tpu() and jnp.dtype(dtype) in (
+        jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+    )
+
+
+def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
+    """Ψ segment reduction over a sort/chunk plan (kernels/sparse_plan.py).
+
+    The nnz stream is pre-sorted by the mode index and cut into equal
+    chunks (pure reshapes on device); each chunk touches at most
+    ``plan.span`` distinct rows, so the one-hot contraction is a tiny
+    local block instead of the full ``(n_mu, chunk)`` matrix — FLOPs per
+    nnz drop from n_mu·r1·r2 to span·r1·r2, independent of the mode size
+    (the non-scatter path for FROSTT lbnl-network's 868131-sized mode).
+    Chunk slabs are combined by one small scatter-add; rows crossing chunk
+    boundaries sum exactly, sentinel slots contribute exact zeros.
+
+    On TPU with f32/bf16 the slabs come from the fused Pallas kernel
+    (kernels/pallas_psi.py); elsewhere from a ``lax.scan`` over chunk
+    batches.
     """
     r1 = left.shape[0] if left is not None else 1
     r2 = right.shape[0] if right is not None else 1
@@ -129,51 +141,86 @@ def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
         entries, *(s for s in (left, right) if s is not None)
     )
     nnz = entries.shape[0]
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
     se = entries[plan.perm]
     sl = left[:, plan.perm] if left is not None else None
     sr = right[:, plan.perm] if right is not None else None
-    sloc = plan.local_idx
 
-    G = int(group_batch)
-    ng = plan.n_groups
-    NB, C = plan.rows_per_group, plan.chunk
-    n_steps = -(-ng // G)
-    padg = n_steps * G - ng
-    xs = {
-        "s": jnp.pad(plan.k_start, (0, padg)).reshape(n_steps, G),
-        "c": jnp.pad(plan.k_count, (0, padg)).reshape(n_steps, G),
-    }
-    iota_c = jnp.arange(C, dtype=jnp.int32)
-    iota_b = jnp.arange(NB, dtype=jnp.int32)
+    if _use_pallas_psi(dtype):
+        from tt_sketch_tpu.kernels.pallas_psi import psi_chunk_slabs
 
-    def body(_, x):
-        cols = jnp.minimum(x["s"][:, None] + iota_c[None, :], nnz - 1)
-        valid = iota_c[None, :] < x["c"][:, None]  # (G, C)
-        loc = jnp.take(sloc, cols, axis=0)  # (G, C)
-        onehot = (
-            (iota_b[None, :, None] == loc[:, None, :]) & valid[:, None, :]
-        ).astype(dtype)  # (G, NB, C)
-        e = jnp.take(se, cols, axis=0)  # (G, C)
+        padn = nc * C - nnz
+        se_p = jnp.pad(se, (0, padn)).astype(dtype)
+        sl_p = (
+            jnp.pad(sl, ((0, 0), (0, padn))).astype(dtype)
+            if sl is not None
+            else jnp.ones((1, nc * C), dtype)
+        )
+        sr_p = (
+            jnp.pad(sr, ((0, 0), (0, padn))).astype(dtype)
+            if sr is not None
+            else None
+        )
+        slabs = psi_chunk_slabs(
+            plan.local_idx, se_p, sl_p, sr_p, n_chunks=nc, span=S, chunk=C
+        )  # (nc, S*r1, r2)
+        slabs = (
+            slabs.reshape(nc, S, r1, r2)
+            .reshape(nc * S, r1 * r2)
+        )
+        slot_rows = plan.slot_rows
+    else:
+        G = max(1, min(int(group_batch), nc))
+        n_steps = -(-nc // G)
+        padc = n_steps * G * C - nnz
+        se_p = jnp.pad(se, (0, padc))
+        loc = jnp.pad(
+            plan.local_idx, (0, (n_steps * G - nc) * C), constant_values=S
+        )
+        xs = {
+            "e": se_p.reshape(n_steps, G, C),
+            "loc": loc.reshape(n_steps, G, C),
+        }
         if sl is not None:
-            le = jnp.take(sl, cols, axis=1) * e[None]  # (r1, G, C)
-        else:
-            le = e[None]
+            xs["l"] = (
+                jnp.pad(sl, ((0, 0), (0, padc)))
+                .reshape(r1, n_steps, G, C)
+                .transpose(1, 2, 0, 3)
+            )
         if sr is not None:
-            rw = jnp.take(sr, cols, axis=1)  # (r2, G, C)
-            outer = le[:, None] * rw[None, :]  # (r1, r2, G, C)
-        else:
-            outer = le[:, None]
-        outer = outer.transpose(2, 3, 0, 1).reshape(G, C, r1 * r2)
-        return None, jnp.einsum("gbc,gcr->gbr", onehot, outer)
+            xs["r"] = (
+                jnp.pad(sr, ((0, 0), (0, padc)))
+                .reshape(r2, n_steps, G, C)
+                .transpose(1, 2, 0, 3)
+            )
+        iota_s = jnp.arange(S, dtype=plan.local_idx.dtype)
 
-    _, slabs = jax.lax.scan(body, None, xs)  # (n_steps, G, NB, r1r2)
-    slot_rows = jnp.pad(
-        plan.slot_rows, (0, padg * NB), constant_values=n_mu
-    )
+        def body(_, x):
+            onehot = (
+                iota_s[None, :, None] == x["loc"][:, None, :]
+            ).astype(dtype)  # (G, S, C)
+            if "l" in xs:
+                le = x["l"] * x["e"][:, None, :]  # (G, r1, C)
+            else:
+                le = x["e"][:, None, :]
+            m1 = onehot[:, :, None, :] * le[:, None, :, :]  # (G, S, r1, C)
+            if "r" in xs:
+                slab = jnp.einsum("gsic,gjc->gsij", m1, x["r"])
+            else:
+                slab = jnp.sum(m1, axis=-1)[..., None]
+            return None, slab
+
+        _, slabs = jax.lax.scan(body, None, xs)  # (n_steps, G, S, r1, r2)
+        slabs = slabs.reshape(-1, r1 * r2)
+        slot_rows = jnp.pad(
+            plan.slot_rows, (0, (n_steps * G - nc) * S),
+            constant_values=n_mu,
+        )
+
     psi = (
         jnp.zeros((n_mu, r1 * r2), dtype=dtype)
         .at[slot_rows]
-        .add(slabs.reshape(-1, r1 * r2), mode="drop")
+        .add(slabs, mode="drop")
     )
     return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2)
 

@@ -1,4 +1,4 @@
-"""Host-side sort/group plans for the sparse Ψ segment reduction.
+"""Host-side sort/chunk plans for the sparse Ψ segment reduction.
 
 The sparse Ψ kernel computes, per mode μ,
 
@@ -15,15 +15,15 @@ This module precomputes, **once per tensor on the host**, a per-mode plan
 that makes the reduction cheap on the MXU regardless of mode size:
 
 1. sort the nnz stream by the mode index (``perm``);
-2. partition the sorted stream into *groups*, each covering at most
-   ``chunk`` nnz and a row span of at most ``rows_per_group``;
-3. per group, the kernel contracts a tiny local one-hot
-   ``(rows_per_group, chunk)`` block against the entry-weighted outer
-   products — FLOPs per nnz drop from ``n_μ · r1·r2`` to
-   ``rows_per_group · r1·r2`` (rows_per_group ≈ 8–256);
-4. group slabs are combined into Ψ by one small scatter-add over
-   ``n_groups · rows_per_group`` rows (heavy rows split across groups sum
-   correctly; group padding slots are exact zeros).
+2. cut the sorted stream into equal chunks of ``chunk`` nnz — exact
+   reshapes on device, no windowed gathers or masks;
+3. per chunk, contract a local one-hot of height ``span`` (the maximum
+   number of distinct rows any chunk touches, a property of the static
+   nonzero pattern) against the entry-weighted DRM rows — FLOPs per nnz
+   drop from ``n_μ · r1·r2`` to ``span · r1·r2`` (span ≈ 8–256);
+4. chunk slabs are combined into Ψ by one small scatter-add over
+   ``n_chunks · span`` rows (rows crossing chunk boundaries sum exactly;
+   local sentinel rows contribute exact zeros).
 
 The plan is static data derived from the (static) nonzero pattern; it is
 carried in the ``SparseTensor`` pytree so the whole sketch still jits as
@@ -43,44 +43,43 @@ import numpy as np
 
 #: Modes at or below this size use the plain dense one-hot reduction (its
 #: FLOPs scale with n_μ, which is fine while n_μ is small); larger modes
-#: get a sort/group plan.
+#: get a sort/chunk plan.
 DEFAULT_SORT_THRESHOLD = 512
 
 
 @jax.tree_util.register_pytree_node_class
 class ModePlan:
-    """Sorted grouping of one COO mode (see module docstring).
+    """Sorted equal-chunk grouping of one COO mode (see module docstring).
 
-    Children are device arrays (traced through jit); the group geometry is
+    Children are device arrays (traced through jit); the chunk geometry is
     static aux data so one compiled program serves any entries/seed.
+
+    - ``perm`` (nnz,) i32: argsort of the mode's indices.
+    - ``local_idx`` (n_chunks·chunk,) i32: sorted index minus its chunk's
+      base row, padded with the sentinel ``span`` (matches no one-hot row).
+    - ``slot_rows`` (n_chunks·span,) i32: global output row per slab slot
+      (``n_mu`` for slots past the mode end — dropped by the combine).
     """
 
     def __init__(
         self,
         perm,
         local_idx,
-        k_start,
-        k_count,
         slot_rows,
-        n_groups: int,
-        rows_per_group: int,
+        n_chunks: int,
+        span: int,
         chunk: int,
     ) -> None:
-        self.perm = perm                  # (nnz,) i32: argsort of idx_mu
-        self.local_idx = local_idx        # (nnz,) i32: sorted idx - group row base
-        self.k_start = k_start            # (n_groups,) i32: first sorted pos
-        self.k_count = k_count            # (n_groups,) i32: nnz in group (<= chunk)
-        self.slot_rows = slot_rows        # (n_groups*rows_per_group,) i32
-        self.n_groups = int(n_groups)
-        self.rows_per_group = int(rows_per_group)
+        self.perm = perm
+        self.local_idx = local_idx
+        self.slot_rows = slot_rows
+        self.n_chunks = int(n_chunks)
+        self.span = int(span)
         self.chunk = int(chunk)
 
     def tree_flatten(self):
-        children = (
-            self.perm, self.local_idx, self.k_start, self.k_count,
-            self.slot_rows,
-        )
-        aux = (self.n_groups, self.rows_per_group, self.chunk)
+        children = (self.perm, self.local_idx, self.slot_rows)
+        aux = (self.n_chunks, self.span, self.chunk)
         return children, aux
 
     @classmethod
@@ -89,100 +88,71 @@ class ModePlan:
 
     def __repr__(self) -> str:
         return (
-            f"<ModePlan groups={self.n_groups} rows/group="
-            f"{self.rows_per_group} chunk={self.chunk}>"
+            f"<ModePlan chunks={self.n_chunks} span={self.span} "
+            f"chunk={self.chunk}>"
         )
 
 
-def _pick_geometry(nnz: int, n_mu: int) -> Tuple[int, int]:
-    """(chunk, rows_per_group) from the mode's average row occupancy.
+def _pick_chunk(nnz: int, n_values: int) -> int:
+    """Chunk size from the mode's average occupancy per occurring value.
 
-    Dense rows (many nnz each) want big chunks and tiny row spans; sparse
-    rows (lbnl-network: ~2 nnz/row over 868131 rows) want small chunks so
-    the span needed to fill them stays moderate.  One-hot FLOPs per nnz =
-    rows_per_group · r1·r2, so rows_per_group is the quantity to contain.
-    """
-    avg = max(nnz / max(n_mu, 1), 1.0)
+    One-hot FLOPs per nnz = span · r1·r2 and a chunk spans roughly
+    ``chunk / avg`` values, so sparse rows (lbnl-network: ~2 nnz/row over
+    868131 rows) want small chunks; dense rows want big ones (better MXU
+    shapes, fewer chunks)."""
+    avg = max(nnz / max(n_values, 1), 1.0)
     if avg >= 256:
-        chunk = 2048
-    elif avg >= 32:
-        chunk = 1024
-    else:
-        chunk = 256
-    rows = int(np.ceil(1.5 * chunk / avg))
-    rows = max(8, min(1024, ((rows + 7) // 8) * 8))
-    return chunk, rows
+        return 2048
+    if avg >= 32:
+        return 1024
+    return 256
 
 
 def build_mode_plan(
     idx,
     n_mu: int,
     chunk: Optional[int] = None,
-    rows_per_group: Optional[int] = None,
 ) -> ModePlan:
-    """Build the sort/group plan for one mode from host-side indices."""
+    """Build the sort/chunk plan for one mode from host-side indices."""
     idx = np.asarray(idx)
     nnz = int(idx.shape[0])
-    auto_chunk, auto_rows = _pick_geometry(nnz, n_mu)
-    C = int(chunk) if chunk is not None else auto_chunk
-    NB = int(rows_per_group) if rows_per_group is not None else auto_rows
 
     perm = np.argsort(idx, kind="stable").astype(np.int32)
-    sidx = np.asarray(idx)[perm].astype(np.int64)
-    counts = np.bincount(sidx, minlength=n_mu)
+    sidx = idx[perm].astype(np.int64)
+    # Work in compacted coordinates (rank among the distinct values that
+    # actually occur): a mode whose support is a sparse subset of a huge
+    # range (e.g. a Cartesian-subgrid pattern) then still gets span ≈
+    # values-per-chunk instead of the raw index gap.
+    uniq, ranks = np.unique(sidx, return_inverse=True)
+    ranks = ranks.astype(np.int64)
+    C = int(chunk) if chunk is not None else _pick_chunk(nnz, len(uniq))
 
-    k_start, k_count, row_base = [], [], []
-    cur_start = 0
-    cur_base = 0
-    pos = 0
+    n_chunks = max(1, -(-nnz // C))
+    pad = n_chunks * C - nnz
+    ranks_p = np.concatenate([ranks, np.full(pad, -1, np.int64)])
+    tiles = ranks_p.reshape(n_chunks, C)
+    base = tiles[:, 0]  # first (smallest) value rank in each chunk
+    # span: distinct-value reach of the fullest chunk, padded for tiling
+    last = np.where(tiles[:, -1] >= 0, tiles[:, -1], tiles.max(axis=1))
+    span = int((last - base).max()) + 1
+    span = ((span + 7) // 8) * 8
 
-    def close() -> None:
-        nonlocal cur_start
-        if pos > cur_start:
-            k_start.append(cur_start)
-            k_count.append(pos - cur_start)
-            row_base.append(cur_base)
-            cur_start = pos
+    local = tiles - base[:, None]
+    local[tiles < 0] = span  # padding sentinel
+    assert local.max() <= span and local.min() >= 0
+    local_idx = local.reshape(-1).astype(np.int32)
 
-    for r in range(n_mu):
-        c = int(counts[r])
-        if c == 0:
-            continue
-        if pos == cur_start:  # group empty so far: anchor its base here
-            cur_base = r
-        if r - cur_base >= NB:  # row span would exceed the one-hot height
-            close()
-            cur_base = r
-        while c > 0:
-            space = C - (pos - cur_start)
-            if space == 0:
-                close()
-                cur_base = r
-                space = C
-            take = min(c, space)
-            pos += take
-            c -= take
-    close()
-
-    n_groups = len(k_start)
-    k_start_a = np.asarray(k_start, np.int32)
-    k_count_a = np.asarray(k_count, np.int32)
-    row_base_a = np.asarray(row_base, np.int32)
-    group_of = np.repeat(np.arange(n_groups, dtype=np.int64), k_count_a)
-    local_idx = (sidx - row_base_a[group_of]).astype(np.int32)
-    if local_idx.size:
-        assert local_idx.min() >= 0 and local_idx.max() < NB
-    slot_rows = (
-        row_base_a[:, None].astype(np.int64)
-        + np.arange(NB, dtype=np.int64)[None, :]
+    # Global output row per (chunk, local) slab slot; slots past the
+    # distinct-value list never receive nonzero slab values — mark them out
+    # of range so the combine scatter drops them outright.
+    slot_ranks = (
+        base[:, None] + np.arange(span, dtype=np.int64)[None, :]
     ).reshape(-1)
-    # Slots past the mode size never receive nonzero slab values; mark them
-    # out of range so the combine scatter drops them outright.
-    slot_rows = np.minimum(slot_rows, n_mu).astype(np.int32)
-    return ModePlan(
-        perm, local_idx, k_start_a, k_count_a, slot_rows,
-        n_groups, NB, C,
-    )
+    uniq_ext = np.concatenate([uniq, np.full(1, n_mu, np.int64)])
+    slot_rows = uniq_ext[
+        np.minimum(slot_ranks, uniq.shape[0])
+    ].astype(np.int32)
+    return ModePlan(perm, local_idx, slot_rows, n_chunks, span, C)
 
 
 def build_psi_plan(
@@ -190,15 +160,11 @@ def build_psi_plan(
     shape: Sequence[int],
     threshold: int = DEFAULT_SORT_THRESHOLD,
     chunk: Optional[int] = None,
-    rows_per_group: Optional[int] = None,
 ) -> Tuple[Optional[ModePlan], ...]:
     """Per-mode plan tuple for a COO tensor (None = plain path for the mode)."""
     indices = np.asarray(indices)
     return tuple(
-        build_mode_plan(
-            indices[mu], int(n_mu), chunk=chunk,
-            rows_per_group=rows_per_group,
-        )
+        build_mode_plan(indices[mu], int(n_mu), chunk=chunk)
         if int(n_mu) > threshold
         else None
         for mu, n_mu in enumerate(shape)
