@@ -186,3 +186,135 @@ def test_exact_recovery_with_plan():
     # exact relative error (the fast inner-product formula cancels to noise
     # at recovery-level errors)
     assert st.to_tt().error(t, relative=True) < 1e-9
+
+
+# -- fused sorted-stream kernel (pallas_psi.psi_fused_slabs) -----------------
+
+
+def test_builder_sorted_streams():
+    """Plans built with entries carry sorted entries + flat hash inputs
+    matching the parity path's flattening (hash_rng._flat_index_np)."""
+    from tt_sketch_tpu.rng.hash_rng import _flat_index_np
+
+    rng = np.random.default_rng(4)
+    shape = (12, 500, 9, 40)
+    nnz = 3000
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape])
+    ent = rng.standard_normal(nnz)
+    plans = build_psi_plan(idx, shape, threshold=8, entries=ent)
+    d = len(shape)
+    for mu, p in enumerate(plans):
+        perm = np.asarray(p.perm)
+        np.testing.assert_array_equal(
+            np.asarray(p.sorted_entries), ent[perm]
+        )
+        if mu > 0:
+            np.testing.assert_array_equal(
+                np.asarray(p.flat_left),
+                _flat_index_np(idx[:mu][:, perm], shape[:mu]),
+            )
+        else:
+            assert p.flat_left is None
+        if mu < d - 1:
+            np.testing.assert_array_equal(
+                np.asarray(p.flat_right),
+                _flat_index_np(
+                    idx[::-1][: d - 1 - mu][:, perm],
+                    shape[::-1][: d - 1 - mu],
+                ),
+            )
+        else:
+            assert p.flat_right is None
+        # transpose swaps the flats, keeps entries
+        pt = p.transposed()
+        assert pt.flat_left is p.flat_right
+        assert pt.flat_right is p.flat_left
+        assert pt.sorted_entries is p.sorted_entries
+
+
+def test_sorted_entries_follow_scale_and_cast():
+    t = SparseTensor.random((30, 550, 40), nnz=4000, seed=13)
+    tp = t.with_psi_plan(threshold=100)
+    scaled = tp * 3.0
+    cast = tp.astype(jnp.float32)
+    for orig, s, c in zip(tp.psi_plan, scaled.psi_plan, cast.psi_plan):
+        if orig is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(s.sorted_entries),
+            3.0 * np.asarray(orig.sorted_entries),
+        )
+        assert c.sorted_entries.dtype == jnp.float32
+
+
+def test_fused_streaming_sketch_matches_plain(monkeypatch):
+    """End-to-end: the fused in-kernel-hash Ψ path (forced-TPU + Pallas
+    interpret on CPU) equals the plain f32 fast path to f32 summation
+    tolerance, with Ω identical (same generated rows)."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(6)
+    shape = (11, 9, 30, 25)
+    nnz = 2500
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz).astype(np.float32)
+    t_plain = SparseTensor(shape, idx, ent)
+    t_plan = t_plain.with_psi_plan(
+        indices=idx, entries=ent, threshold=8, chunk=128
+    )
+    from tt_sketch_tpu.kernels import sketch_kernels as K
+
+    assert all(
+        K._can_fuse_psi(
+            p, t_plan, mu,
+            SparseGaussianDRM(4, shape, transpose=False, seed=1,
+                              dtype=jnp.float32),
+            SparseGaussianDRM(8, shape, transpose=True, seed=2,
+                              dtype=jnp.float32),
+        )
+        for mu, p in enumerate(t_plan.psi_plan)
+    )
+    kw = dict(
+        left_rank=4, right_rank=8, left_drm_type=SparseGaussianDRM,
+        right_drm_type=SparseGaussianDRM, dtype=jnp.float32, seed=7,
+    )
+    s0 = stream_sketch(t_plain, **kw)
+    s1 = stream_sketch(t_plan, **kw)
+    for a, b in zip(s0.sketch_.Psi_cores, s1.sketch_.Psi_cores):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5 * scale
+        )
+    for a, b in zip(s0.sketch_.Omega_mats, s1.sketch_.Omega_mats):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_blocked_rank_slice(monkeypatch):
+    """Rank-sliced DRMs (blocked sketch / increase_rank) take the fused
+    path too: the sliced fused sketch equals the corresponding block of
+    the full fused sketch (prefix-stable salts)."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.engine.dispatch import SketchMethod, general_sketch
+
+    rng = np.random.default_rng(8)
+    shape = (9, 20, 25)
+    nnz = 1500
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz).astype(np.float32)
+    t = SparseTensor(shape, idx, ent).with_psi_plan(
+        indices=idx, entries=ent, threshold=8, chunk=128
+    )
+    full_l = SparseGaussianDRM(6, shape, transpose=False, seed=5,
+                               dtype=jnp.float32)
+    full_r = SparseGaussianDRM(12, shape, transpose=True, seed=6,
+                               dtype=jnp.float32)
+    sk_full = general_sketch(t, full_l, full_r, SketchMethod.streaming)
+    sliced_l = full_l.slice((2,) * 2, (6,) * 2)
+    sk_slice = general_sketch(t, sliced_l, full_r, SketchMethod.streaming)
+    # interior Psi of the slice == rows 2:6 of the full one
+    np.testing.assert_allclose(
+        np.asarray(sk_slice.Psi_cores[1]),
+        np.asarray(sk_full.Psi_cores[1][2:6]),
+        atol=1e-6,
+    )

@@ -73,3 +73,15 @@ def is_tpu() -> bool:
     except Exception:
         return False
     return "tpu" in text
+
+
+def pallas_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode (CPU emulation).
+
+    Set ``TT_SKETCH_TPU_PALLAS_INTERPRET=1`` together with
+    ``TT_SKETCH_TPU_FORCE_TPU=1`` to execute the exact TPU fast-path
+    program (Pallas RNG + fused/grouped Ψ kernels) on a CPU host — the
+    test suite uses this to cover the TPU code paths without a chip.
+    """
+    v = os.environ.get("TT_SKETCH_TPU_PALLAS_INTERPRET")
+    return bool(v) and v not in ("0", "false", "False")

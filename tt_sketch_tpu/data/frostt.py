@@ -252,7 +252,7 @@ def load_frostt(
             from tt_sketch_tpu.kernels.sparse_plan import build_psi_plan
 
             plan = build_psi_plan(
-                np_indices, shape, **(plan_kwargs or {})
+                np_indices, shape, entries=np_entries, **(plan_kwargs or {})
             )
         return SparseTensor(shape, np_indices, np_entries, psi_plan=plan)
 

@@ -213,6 +213,15 @@ def general_sketch(
 
     Psi_cores: List[jnp.ndarray] = []
     psi_method = PSI_METHODS[type(tensor)]
+    # Streaming only: give the Ψ kernels access to the DRM objects so
+    # hash-family DRMs can take the fused sorted-stream path (the sparse
+    # kernel regenerates rows in-kernel; sequential methods feed chain
+    # states that only exist as materialized arrays).
+    drm_kwargs = (
+        {"left_drm": left_drm, "right_drm": right_drm}
+        if method == SketchMethod.streaming
+        else {}
+    )
     for mu in range(n_dims):
         if mu > 0:
             if sequential:
@@ -237,6 +246,7 @@ def general_sketch(
             tensor=tensor,
             mu=mu,
             psi_shape=psi_shape,
+            **drm_kwargs,
         )
         if mu < n_dims - 1:
             if method == SketchMethod.orthogonal:

@@ -39,27 +39,47 @@ class SparseTensor(Tensor):
         return cls(aux, children[0], children[1], psi_plan=children[2])
 
     def with_psi_plan(
-        self, indices=None, threshold: int = 512, **plan_kwargs
+        self, indices=None, threshold: int = 512, entries=None, **plan_kwargs
     ) -> SparseTensor:
         """Copy with sort/group Ψ plans attached (kernels/sparse_plan.py).
 
-        ``indices`` may pass host-side NumPy indices to avoid a device→host
-        readback; by default ``self.indices`` is pulled to the host (cheap
-        on CPU, a known hazard through the tunneled TPU backend).
+        ``indices``/``entries`` may pass host-side NumPy arrays to avoid a
+        device→host readback; by default ``self.indices``/``self.entries``
+        are pulled to the host (cheap on CPU, a known hazard through the
+        tunneled TPU backend).  Entries enable the fused sorted-stream
+        kernel (kernels/pallas_psi.py).
         """
         from tt_sketch_tpu.kernels.sparse_plan import build_psi_plan
 
         host_indices = np.asarray(
             self.indices if indices is None else indices
         )
+        host_entries = np.asarray(
+            self.entries if entries is None else entries
+        )
         plan = build_psi_plan(
-            host_indices, self.shape, threshold=threshold, **plan_kwargs
+            host_indices, self.shape, threshold=threshold,
+            entries=host_entries, **plan_kwargs
         )
         return SparseTensor(self.shape, self.indices, self.entries, plan)
 
+    def _map_plan_entries(self, fn):
+        if self.psi_plan is None:
+            return None
+        return tuple(
+            None if p is None else p.map_entries(fn) for p in self.psi_plan
+        )
+
     @property
     def T(self) -> SparseTensor:
-        plan = None if self.psi_plan is None else self.psi_plan[::-1]
+        plan = (
+            None
+            if self.psi_plan is None
+            else tuple(
+                None if p is None else p.transposed()
+                for p in self.psi_plan[::-1]
+            )
+        )
         return SparseTensor(
             self.shape[::-1], self.indices[::-1], self.entries, plan
         )
@@ -78,7 +98,8 @@ class SparseTensor(Tensor):
             else self.indices.astype(index_dtype)
         )
         return SparseTensor(
-            self.shape, indices, self.entries.astype(dtype), self.psi_plan
+            self.shape, indices, self.entries.astype(dtype),
+            self._map_plan_entries(lambda e: e.astype(dtype)),
         )
 
     @property
@@ -132,7 +153,8 @@ class SparseTensor(Tensor):
 
     def __mul__(self, other: float) -> SparseTensor:
         return SparseTensor(
-            self.shape, self.indices, self.entries * other, self.psi_plan
+            self.shape, self.indices, self.entries * other,
+            self._map_plan_entries(lambda e: e * other),
         )
 
     def __repr__(self) -> str:

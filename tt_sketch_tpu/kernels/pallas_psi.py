@@ -20,8 +20,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from tt_sketch_tpu.kernels.pallas_rng import (
+    _add64,
+    _hash64_pair,
+    _normal_from_pair,
+)
 
 
 def _i32(v: int):
@@ -105,3 +112,187 @@ def psi_chunk_slabs(
         out_specs=out_spec(1),
         interpret=interpret,
     )(loc2, se2, sl)
+
+
+# -- fused sorted-stream kernel ----------------------------------------------
+#
+# The gather-based grouped path above still pays ~40 ms/mode at FROSTT scale
+# to permute materialized DRM rows into sorted order (a (r, nnz) minor-axis
+# gather on TPU).  For hash-family DRMs (SparseGaussianDRM) the rows are a
+# pure function of (flat index, column, seed), so the kernel below *hashes
+# the rows directly in sorted order* from the plan's precomputed flat
+# prefix/suffix indices (kernels/sparse_plan.py: ModePlan.flat_left/right):
+# counter RNG -> entry weighting -> local one-hot -> MXU contraction, one
+# pass, no HBM intermediates and no gathers.  This is the TPU-native answer
+# to the reference's per-slice Python loop (sparse_sketch.py:49-69).
+
+
+def _gen_rows(salt_hi, salt_lo, flat_hi, flat_lo):
+    """(R, 1) salts x (1, C) flats -> (R, C) float32 N(0,1) block (same
+    pipeline as pallas_rng._drm_block_kernel)."""
+    h, l = _add64(salt_hi, salt_lo, flat_hi, flat_lo)
+    h, l = _hash64_pair(h, l)
+    return _normal_from_pair(h, l)
+
+
+def _fused_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
+                  rf_lo_ref, ls_hi_ref, ls_lo_ref, rs_hi_ref, rs_lo_ref,
+                  out_ref, *, span: int):
+    C = loc_ref.shape[1]
+    R1 = ls_hi_ref.shape[0]
+    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
+                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1, C)
+    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
+                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2, C)
+    le = L * e_ref[0, :][None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(out_ref.dtype)
+    m1 = (onehot[:, None, :] * le[None, :, :]).reshape(span * R1, C)
+    out_ref[0] = jnp.dot(m1, R.T, preferred_element_type=out_ref.dtype)
+
+
+def _fused_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref, rs_hi_ref,
+                         rs_lo_ref, out_ref, *, span: int):
+    C = loc_ref.shape[1]
+    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
+                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2, C)
+    re = R * e_ref[0, :][None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(out_ref.dtype)
+    out_ref[0] = jnp.dot(onehot, re.T, preferred_element_type=out_ref.dtype)
+
+
+def _fused_kernel_noright(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, ls_hi_ref,
+                          ls_lo_ref, out_ref, *, span: int):
+    C = loc_ref.shape[1]
+    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
+                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1, C)
+    le = L * e_ref[0, :][None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(out_ref.dtype)
+    out_ref[0] = jnp.dot(onehot, le.T, preferred_element_type=out_ref.dtype)
+
+
+def _split_u64_cols(x, n_pad: int):
+    """uint64 (N,) -> ((1, N_pad) hi, (1, N_pad) lo) uint32."""
+    x = jnp.pad(jnp.asarray(x, jnp.uint64), (0, n_pad - x.shape[0]))
+    hi = (x >> np.uint64(32)).astype(_U32).reshape(1, n_pad)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(1, n_pad)
+    return hi, lo
+
+
+def _split_u64_rows(x, r_pad: int):
+    """uint64 (R,) -> ((R_pad, 1) hi, (R_pad, 1) lo) uint32."""
+    x = jnp.pad(jnp.asarray(x, jnp.uint64), (0, r_pad - x.shape[0]))
+    hi = (x >> np.uint64(32)).astype(_U32).reshape(r_pad, 1)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(r_pad, 1)
+    return hi, lo
+
+
+_U32 = jnp.uint32
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_chunks", "span", "chunk", "interpret"),
+)
+def psi_fused_slabs(
+    loc,
+    se,
+    lflat,
+    rflat,
+    lsalts,
+    rsalts,
+    n_chunks: int,
+    span: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """Per-chunk Ψ slabs with DRM rows hashed in-kernel at sorted order.
+
+    ``loc`` (n_chunks·chunk,) i32 local one-hot rows (sentinel ``span``),
+    ``se`` (nnz,) sorted entries, ``lflat``/``rflat`` (nnz,) uint64 flat
+    prefix/suffix hash inputs (either may be None at the boundary modes),
+    ``lsalts``/``rsalts`` (r,) uint64 per-column salts (``hash(col)+seed``).
+
+    Returns float32 slabs:
+      - both sides:  (n_chunks, span·R1_pad, R2_pad)
+      - left=None:   (n_chunks, span, R2_pad)
+      - right=None:  (n_chunks, span, R1_pad)
+    Callers slice the rank padding off and scatter-combine over
+    ``plan.slot_rows``.
+    """
+    C = chunk
+    N_pad = n_chunks * C
+    nnz = se.shape[0]
+    se2 = jnp.pad(se.astype(jnp.float32), (0, N_pad - nnz)).reshape(1, N_pad)
+    loc2 = loc.reshape(1, N_pad)
+
+    col_spec = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, C), lambda c: (_i32(0), c), memory_space=pltpu.VMEM
+    )
+    salt_spec = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+
+    if lflat is not None and rflat is not None:
+        R1p, R2p = _round8(lsalts.shape[0]), _round8(rsalts.shape[0])
+        lf_hi, lf_lo = _split_u64_cols(lflat, N_pad)
+        rf_hi, rf_lo = _split_u64_cols(rflat, N_pad)
+        ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
+        rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+        return pl.pallas_call(
+            partial(_fused_kernel, span=span),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_chunks, span * R1p, R2p), jnp.float32
+            ),
+            grid=(n_chunks,),
+            in_specs=[col_spec(1)] * 6 + [salt_spec(R1p)] * 2
+            + [salt_spec(R2p)] * 2,
+            out_specs=pl.BlockSpec(
+                (1, span * R1p, R2p), lambda c: (c, _i32(0), _i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(loc2, se2, lf_hi, lf_lo, rf_hi, rf_lo, ls_hi, ls_lo, rs_hi, rs_lo)
+
+    if lflat is None:
+        R2p = _round8(rsalts.shape[0])
+        rf_hi, rf_lo = _split_u64_cols(rflat, N_pad)
+        rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+        return pl.pallas_call(
+            partial(_fused_kernel_noleft, span=span),
+            out_shape=jax.ShapeDtypeStruct((n_chunks, span, R2p), jnp.float32),
+            grid=(n_chunks,),
+            in_specs=[col_spec(1)] * 4 + [salt_spec(R2p)] * 2,
+            out_specs=pl.BlockSpec(
+                (1, span, R2p), lambda c: (c, _i32(0), _i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(loc2, se2, rf_hi, rf_lo, rs_hi, rs_lo)
+
+    R1p = _round8(lsalts.shape[0])
+    lf_hi, lf_lo = _split_u64_cols(lflat, N_pad)
+    ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
+    return pl.pallas_call(
+        partial(_fused_kernel_noright, span=span),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, span, R1p), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[col_spec(1)] * 4 + [salt_spec(R1p)] * 2,
+        out_specs=pl.BlockSpec(
+            (1, span, R1p), lambda c: (c, _i32(0), _i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(loc2, se2, lf_hi, lf_lo, ls_hi, ls_lo)

@@ -25,7 +25,7 @@ Reference for the generator semantics:
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -189,13 +189,25 @@ def _generate(flat, salts, rank_min: int, rank_max: int,
     return out[:R, :N]
 
 
+def drm_salts(rank_min: int, rank_max: int, seed) -> jnp.ndarray:
+    """Per-column salts ``hash(col) + seed`` (uint64) — the parity path's
+    column derivation, shared by every hash-family kernel so prefix-stable
+    rank growth and rank slicing hold everywhere."""
+    from tt_sketch_tpu.rng.hash_rng import hash_int
+
+    seed_u = jnp.asarray(seed, jnp.uint64) % jnp.uint64(2 ** 63)
+    return (
+        hash_int(jnp.arange(rank_min, rank_max, dtype=jnp.uint64)) + seed_u
+    )
+
+
 def lazy_gaussian_pallas(
     flat,
     rank_min: int,
     rank_max: int,
     seed,
     tile_n: int = 512,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Generate the (rank_max-rank_min, N) float32 lazy-Gaussian DRM block
     for flat indices ``flat`` (uint64) entirely on-chip.
@@ -204,13 +216,12 @@ def lazy_gaussian_pallas(
     prefix-stable rank growth and rank slicing hold here too.  Transposed
     layout (columns-first) because consumers contract over N.
     """
-    from tt_sketch_tpu.rng.hash_rng import hash_int
+    if interpret is None:
+        from tt_sketch_tpu.config import pallas_interpret
 
+        interpret = pallas_interpret()
     flat = jnp.asarray(flat, jnp.uint64)
-    seed_u = jnp.asarray(seed, jnp.uint64) % jnp.uint64(2 ** 63)
-    salts = (
-        hash_int(jnp.arange(rank_min, rank_max, dtype=jnp.uint64)) + seed_u
-    )
+    salts = drm_salts(rank_min, rank_max, seed)
     return _generate(
         flat, salts, int(rank_min), int(rank_max), int(tile_n),
         bool(interpret),
@@ -223,7 +234,7 @@ def inds_to_normal_pallas(
     rank_min: int,
     rank_max: int,
     seed,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in (transposed, float32) analog of ``hash_rng.inds_to_normal``:
     returns (rank, N) instead of (N, rank)."""

@@ -161,8 +161,11 @@ def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
             if sr is not None
             else None
         )
+        from tt_sketch_tpu.config import pallas_interpret
+
         slabs = psi_chunk_slabs(
-            plan.local_idx, se_p, sl_p, sr_p, n_chunks=nc, span=S, chunk=C
+            plan.local_idx, se_p, sl_p, sr_p, n_chunks=nc, span=S, chunk=C,
+            interpret=pallas_interpret(),
         )  # (nc, S*r1, r2)
         slabs = (
             slabs.reshape(nc, S, r1, r2)
@@ -291,16 +294,111 @@ def _psi_sparse_segment(left, right, entries, indices_mu, n_mu):
     return psi.transpose(1, 0, 2)
 
 
+def _can_fuse_psi(mp, tensor, mu, left_drm, right_drm) -> bool:
+    """The fused sorted-stream kernel applies when the plan carries the
+    sorted streams and both consumed sides are hash-family DRMs on the
+    Pallas fast path (their materialized rows equal what the kernel hashes
+    in-kernel, so Ψ and Ω stay mutually consistent)."""
+    if mp.sorted_entries is None:
+        return False
+    if not _use_pallas_psi(tensor.entries.dtype):
+        return False
+    from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+
+    d = len(tensor.shape)
+    if mu > 0 and not (
+        isinstance(left_drm, SparseGaussianDRM) and left_drm._use_pallas()
+    ):
+        return False
+    if mu < d - 1 and not (
+        isinstance(right_drm, SparseGaussianDRM) and right_drm._use_pallas()
+    ):
+        return False
+    return True
+
+
+def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
+    """Ψ_μ via the fused Pallas kernel (kernels/pallas_psi.py): DRM rows
+    hashed in-kernel at mode-sorted order from the plan's flat prefix/
+    suffix indices — no materialized-row gathers, no HBM intermediates.
+
+    Seed/salt derivation replicates ``SparseGaussianDRM.sketch_sparse``
+    exactly: left rows for Ψ_μ are generator step μ-1 (seed+μ-1); right
+    rows are the *transposed* generator's step d-2-μ with the right DRM's
+    (already reversed) rank slice."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import psi_fused_slabs
+    from tt_sketch_tpu.kernels.pallas_rng import drm_salts
+
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
+    lsalts = rsalts = None
+    r1 = r2 = 1
+    if mu > 0:
+        seed_l = (
+            jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu - 1)
+        ) % jnp.uint64(2 ** 63)
+        lsalts = drm_salts(
+            left_drm.rank_min[mu - 1], left_drm.rank_max[mu - 1], seed_l
+        )
+        r1 = left_drm.rank[mu - 1]
+    if mu < d - 1:
+        mu_t = d - 2 - mu
+        seed_r = (
+            jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(mu_t)
+        ) % jnp.uint64(2 ** 63)
+        rsalts = drm_salts(
+            right_drm.rank_min[mu_t], right_drm.rank_max[mu_t], seed_r
+        )
+        r2 = right_drm.rank[mu_t]
+
+    slabs = psi_fused_slabs(
+        plan.local_idx,
+        plan.sorted_entries,
+        plan.flat_left if mu > 0 else None,
+        plan.flat_right if mu < d - 1 else None,
+        lsalts,
+        rsalts,
+        n_chunks=nc,
+        span=S,
+        chunk=C,
+        interpret=pallas_interpret(),
+    )
+    if 0 < mu < d - 1:
+        R1p = slabs.shape[1] // S
+        flat = (
+            slabs.reshape(nc, S, R1p, slabs.shape[2])[:, :, :r1, :r2]
+            .reshape(nc * S, r1 * r2)
+        )
+    elif mu == 0:
+        flat = slabs[:, :, :r2].reshape(nc * S, r2)
+    else:
+        flat = slabs[:, :, :r1].reshape(nc * S, r1)
+    psi = (
+        jnp.zeros((n_mu, r1 * r2), jnp.float32)
+        .at[plan.slot_rows]
+        .add(flat, mode="drop")
+    )
+    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
+
+
 def sketch_psi_sparse(
-    left_sketch, right_sketch, *, tensor, mu, psi_shape, **kwargs
+    left_sketch, right_sketch, *, tensor, mu, psi_shape,
+    left_drm=None, right_drm=None, **kwargs
 ):
     plan = getattr(tensor, "psi_plan", None)
-    if plan is not None and plan[mu] is not None:
+    mp = plan[mu] if plan is not None else None
+    if mp is not None:
+        if _can_fuse_psi(mp, tensor, mu, left_drm, right_drm):
+            return _psi_sparse_fused(
+                tensor, mu, mp, psi_shape[1], left_drm, right_drm
+            )
         return _psi_sparse_grouped(
             left_sketch,
             right_sketch,
             tensor.entries,
-            plan[mu],
+            mp,
             psi_shape[1],
         )
     return _psi_sparse_segment(

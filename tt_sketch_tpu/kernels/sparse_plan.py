@@ -59,6 +59,22 @@ class ModePlan:
       base row, padded with the sentinel ``span`` (matches no one-hot row).
     - ``slot_rows`` (n_chunks·span,) i32: global output row per slab slot
       (``n_mu`` for slots past the mode end — dropped by the combine).
+
+    Optional sorted-stream children for the **fused** Ψ kernel
+    (kernels/pallas_psi.py) — present when the plan was built with entries
+    and the full index matrix; they let the kernel hash the DRM rows
+    directly in sorted order instead of gathering materialized rows
+    through ``perm`` (a (r, nnz) minor-axis gather costs ~40 ms at FROSTT
+    scale on a v5e — more than the whole sketch should take):
+
+    - ``sorted_entries`` (nnz,): ``entries[perm]`` (kept consistent by
+      ``SparseTensor.astype``/``__mul__``).
+    - ``flat_left`` (nnz,) u64 or None: flat prefix index over modes
+      ``0..μ-1`` at sorted order (hash input for the left DRM rows of
+      Ψ_μ); None for μ=0.
+    - ``flat_right`` (nnz,) u64 or None: flat suffix index over modes
+      ``d-1..μ+1`` (the transposed-tensor prefix the right DRM hashes);
+      None for μ=d-1.
     """
 
     def __init__(
@@ -69,6 +85,9 @@ class ModePlan:
         n_chunks: int,
         span: int,
         chunk: int,
+        sorted_entries=None,
+        flat_left=None,
+        flat_right=None,
     ) -> None:
         self.perm = perm
         self.local_idx = local_idx
@@ -76,20 +95,56 @@ class ModePlan:
         self.n_chunks = int(n_chunks)
         self.span = int(span)
         self.chunk = int(chunk)
+        self.sorted_entries = sorted_entries
+        self.flat_left = flat_left
+        self.flat_right = flat_right
 
     def tree_flatten(self):
-        children = (self.perm, self.local_idx, self.slot_rows)
+        children = (
+            self.perm, self.local_idx, self.slot_rows,
+            self.sorted_entries, self.flat_left, self.flat_right,
+        )
         aux = (self.n_chunks, self.span, self.chunk)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(
+            children[0], children[1], children[2], *aux,
+            sorted_entries=children[3], flat_left=children[4],
+            flat_right=children[5],
+        )
+
+    def transposed(self) -> "ModePlan":
+        """The same mode's plan viewed from the reversed tensor: the
+        transposed tensor's prefix is this tensor's suffix and vice versa
+        (``SparseTensor.T`` reverses the per-mode plan tuple and calls
+        this on each entry)."""
+        return ModePlan(
+            self.perm, self.local_idx, self.slot_rows,
+            self.n_chunks, self.span, self.chunk,
+            sorted_entries=self.sorted_entries,
+            flat_left=self.flat_right, flat_right=self.flat_left,
+        )
+
+    def map_entries(self, fn) -> "ModePlan":
+        """Copy with ``sorted_entries`` mapped through ``fn`` (scaling /
+        dtype casts on the owning tensor must keep the sorted copy
+        consistent)."""
+        if self.sorted_entries is None:
+            return self
+        return ModePlan(
+            self.perm, self.local_idx, self.slot_rows,
+            self.n_chunks, self.span, self.chunk,
+            sorted_entries=fn(self.sorted_entries),
+            flat_left=self.flat_left, flat_right=self.flat_right,
+        )
 
     def __repr__(self) -> str:
+        fused = "+fused" if self.sorted_entries is not None else ""
         return (
             f"<ModePlan chunks={self.n_chunks} span={self.span} "
-            f"chunk={self.chunk}>"
+            f"chunk={self.chunk}{fused}>"
         )
 
 
@@ -112,8 +167,17 @@ def build_mode_plan(
     idx,
     n_mu: int,
     chunk: Optional[int] = None,
+    *,
+    full_indices=None,
+    mu: Optional[int] = None,
+    shape: Optional[Sequence[int]] = None,
+    entries=None,
 ) -> ModePlan:
-    """Build the sort/chunk plan for one mode from host-side indices."""
+    """Build the sort/chunk plan for one mode from host-side indices.
+
+    With ``full_indices``/``mu``/``shape``/``entries`` also given, the plan
+    carries the sorted streams the fused Pallas Ψ kernel consumes (sorted
+    entries plus the flat prefix/suffix hash inputs — see ModePlan)."""
     idx = np.asarray(idx)
     nnz = int(idx.shape[0])
 
@@ -152,7 +216,32 @@ def build_mode_plan(
     slot_rows = uniq_ext[
         np.minimum(slot_ranks, uniq.shape[0])
     ].astype(np.int32)
-    return ModePlan(perm, local_idx, slot_rows, n_chunks, span, C)
+
+    sorted_entries = flat_left = flat_right = None
+    if full_indices is not None and entries is not None:
+        from tt_sketch_tpu.rng.hash_rng import _flat_index_np
+
+        full_indices = np.asarray(full_indices)
+        shape = tuple(int(s) for s in shape)
+        d = len(shape)
+        sorted_entries = np.asarray(entries)[perm]
+        if mu > 0:
+            flat_left = _flat_index_np(
+                full_indices[:mu][:, perm], shape[:mu]
+            )
+        if mu < d - 1:
+            # The right DRM hashes the *transposed* tensor's prefix
+            # (drm/base.py handle_transpose): modes d-1..μ+1, shape
+            # reversed to match.
+            flat_right = _flat_index_np(
+                full_indices[::-1][: d - 1 - mu][:, perm],
+                shape[::-1][: d - 1 - mu],
+            )
+    return ModePlan(
+        perm, local_idx, slot_rows, n_chunks, span, C,
+        sorted_entries=sorted_entries, flat_left=flat_left,
+        flat_right=flat_right,
+    )
 
 
 def build_psi_plan(
@@ -160,11 +249,18 @@ def build_psi_plan(
     shape: Sequence[int],
     threshold: int = DEFAULT_SORT_THRESHOLD,
     chunk: Optional[int] = None,
+    entries=None,
 ) -> Tuple[Optional[ModePlan], ...]:
-    """Per-mode plan tuple for a COO tensor (None = plain path for the mode)."""
+    """Per-mode plan tuple for a COO tensor (None = plain path for the mode).
+
+    Pass host-side ``entries`` to enable the fused sorted-stream kernel
+    (sorted entries + flat hash inputs are precomputed per planned mode)."""
     indices = np.asarray(indices)
     return tuple(
-        build_mode_plan(indices[mu], int(n_mu), chunk=chunk)
+        build_mode_plan(
+            indices[mu], int(n_mu), chunk=chunk,
+            full_indices=indices, mu=mu, shape=shape, entries=entries,
+        )
         if int(n_mu) > threshold
         else None
         for mu, n_mu in enumerate(shape)
