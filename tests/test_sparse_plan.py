@@ -208,16 +208,20 @@ def test_builder_sorted_streams():
         np.testing.assert_array_equal(
             np.asarray(p.sorted_entries), ent[perm]
         )
+        def _packed(pair):
+            hi, lo = (np.asarray(x, np.uint64) for x in pair)
+            return (hi << np.uint64(32)) | lo
+
         if mu > 0:
             np.testing.assert_array_equal(
-                np.asarray(p.flat_left),
+                _packed(p.flat_left),
                 _flat_index_np(idx[:mu][:, perm], shape[:mu]),
             )
         else:
             assert p.flat_left is None
         if mu < d - 1:
             np.testing.assert_array_equal(
-                np.asarray(p.flat_right),
+                _packed(p.flat_right),
                 _flat_index_np(
                     idx[::-1][: d - 1 - mu][:, perm],
                     shape[::-1][: d - 1 - mu],

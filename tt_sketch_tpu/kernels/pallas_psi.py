@@ -179,12 +179,12 @@ def _fused_kernel_noright(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, ls_hi_ref,
     out_ref[0] = jnp.dot(onehot, le.T, preferred_element_type=out_ref.dtype)
 
 
-def _split_u64_cols(x, n_pad: int):
-    """uint64 (N,) -> ((1, N_pad) hi, (1, N_pad) lo) uint32."""
-    x = jnp.pad(jnp.asarray(x, jnp.uint64), (0, n_pad - x.shape[0]))
-    hi = (x >> np.uint64(32)).astype(_U32).reshape(1, n_pad)
-    lo = (x & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(1, n_pad)
-    return hi, lo
+def _pad_pair_cols(pair, n_pad: int):
+    """((N,) hi, (N,) lo) uint32 pair -> ((1, N_pad), (1, N_pad))."""
+    hi, lo = pair
+    hi = jnp.pad(jnp.asarray(hi, _U32), (0, n_pad - hi.shape[0]))
+    lo = jnp.pad(jnp.asarray(lo, _U32), (0, n_pad - lo.shape[0]))
+    return hi.reshape(1, n_pad), lo.reshape(1, n_pad)
 
 
 def _split_u64_rows(x, r_pad: int):
@@ -221,9 +221,10 @@ def psi_fused_slabs(
     """Per-chunk Ψ slabs with DRM rows hashed in-kernel at sorted order.
 
     ``loc`` (n_chunks·chunk,) i32 local one-hot rows (sentinel ``span``),
-    ``se`` (nnz,) sorted entries, ``lflat``/``rflat`` (nnz,) uint64 flat
-    prefix/suffix hash inputs (either may be None at the boundary modes),
-    ``lsalts``/``rsalts`` (r,) uint64 per-column salts (``hash(col)+seed``).
+    ``se`` (nnz,) sorted entries, ``lflat``/``rflat`` ((nnz,) u32 hi/lo
+    pair tuples) flat prefix/suffix hash inputs (either may be None at
+    the boundary modes), ``lsalts``/``rsalts`` (r,) uint64 per-column
+    salts (``hash(col)+seed``).
 
     Returns float32 slabs:
       - both sides:  (n_chunks, span·R1_pad, R2_pad)
@@ -247,8 +248,8 @@ def psi_fused_slabs(
 
     if lflat is not None and rflat is not None:
         R1p, R2p = _round8(lsalts.shape[0]), _round8(rsalts.shape[0])
-        lf_hi, lf_lo = _split_u64_cols(lflat, N_pad)
-        rf_hi, rf_lo = _split_u64_cols(rflat, N_pad)
+        lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
+        rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
         ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
         rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
         return pl.pallas_call(
@@ -268,7 +269,7 @@ def psi_fused_slabs(
 
     if lflat is None:
         R2p = _round8(rsalts.shape[0])
-        rf_hi, rf_lo = _split_u64_cols(rflat, N_pad)
+        rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
         rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
         return pl.pallas_call(
             partial(_fused_kernel_noleft, span=span),
@@ -283,7 +284,7 @@ def psi_fused_slabs(
         )(loc2, se2, rf_hi, rf_lo, rs_hi, rs_lo)
 
     R1p = _round8(lsalts.shape[0])
-    lf_hi, lf_lo = _split_u64_cols(lflat, N_pad)
+    lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
     ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
     return pl.pallas_call(
         partial(_fused_kernel_noright, span=span),

@@ -128,6 +128,33 @@ def _normal_from_pair(h, l):
     return _SQRT2 * _erfinv_f32(x)
 
 
+def flat_u32_pairs(indices, shape: Sequence[int]):
+    """Column-major flat index of (d, N) integer indices as a (hi, lo)
+    uint32 pair — the same value (mod 2^64) as ``hash_rng._flat_index``,
+    computed with NATIVE u32 vector ops.
+
+    The u64 route costs real time on TPU: x64 uint64 arithmetic is
+    emulated, and the emulated multiply/shift chain over an nnz-sized
+    vector showed up as ~1/3 of the standalone RNG kernel's wall time at
+    FROSTT scale.  Mode sizes are < 2^31 and the running stride product
+    is a Python int, so 32x32→64 limb products (``_mul32_wide``) cover it
+    exactly."""
+    idx = jnp.asarray(indices)
+    lo = idx[0].astype(_U32)
+    hi = jnp.zeros_like(lo)
+    prod = 1
+    for i in range(1, len(shape)):
+        prod *= int(shape[i - 1])
+        p_hi = np.uint32((prod >> 32) & 0xFFFFFFFF)
+        p_lo = np.uint32(prod & 0xFFFFFFFF)
+        xi = idx[i].astype(_U32)
+        mh, ml = _mul32_wide(xi, p_lo)
+        if int(p_hi):
+            mh = mh + xi * p_hi
+        hi, lo = _add64(hi, lo, mh, ml)
+    return hi, lo
+
+
 def _drm_block_kernel(flat_hi_ref, flat_lo_ref, salt_hi_ref, salt_lo_ref,
                       out_ref):
     # (R, 1) salts broadcast against (1, T) flats -> (R, T) block
@@ -153,17 +180,16 @@ def _round_up(x: int, m: int) -> int:
     jax.jit,
     static_argnames=("rank_min", "rank_max", "tile_n", "interpret"),
 )
-def _generate(flat, salts, rank_min: int, rank_max: int,
-              tile_n: int, interpret: bool):
-    N = flat.shape[0]
+def _generate_pairs(flat_hi, flat_lo, salts, rank_min: int, rank_max: int,
+                    tile_n: int, interpret: bool):
+    N = flat_hi.shape[0]
     R = rank_max - rank_min
     R_pad = _round_up(max(R, 1), 8)
     N_pad = _round_up(max(N, 1), tile_n)
 
-    flat = jnp.pad(flat, (0, N_pad - N))
     salts = jnp.pad(salts, (0, R_pad - R))
-    flat_hi = (flat >> np.uint64(32)).astype(_U32).reshape(1, N_pad)
-    flat_lo = (flat & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(1, N_pad)
+    flat_hi = jnp.pad(flat_hi, (0, N_pad - N)).reshape(1, N_pad)
+    flat_lo = jnp.pad(flat_lo, (0, N_pad - N)).reshape(1, N_pad)
     salt_hi = (salts >> np.uint64(32)).astype(_U32).reshape(R_pad, 1)
     salt_lo = (salts & np.uint64(0xFFFFFFFF)).astype(_U32).reshape(R_pad, 1)
 
@@ -206,11 +232,12 @@ def lazy_gaussian_pallas(
     rank_min: int,
     rank_max: int,
     seed,
-    tile_n: int = 512,
+    tile_n: int = 2048,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Generate the (rank_max-rank_min, N) float32 lazy-Gaussian DRM block
-    for flat indices ``flat`` (uint64) entirely on-chip.
+    for flat indices ``flat`` (uint64, or a (hi, lo) uint32 pair tuple)
+    entirely on-chip.
 
     Column salts are the same ``hash(col) + seed`` as the parity path, so
     prefix-stable rank growth and rank slicing hold here too.  Transposed
@@ -220,10 +247,15 @@ def lazy_gaussian_pallas(
         from tt_sketch_tpu.config import pallas_interpret
 
         interpret = pallas_interpret()
-    flat = jnp.asarray(flat, jnp.uint64)
+    if isinstance(flat, tuple):
+        flat_hi, flat_lo = flat
+    else:
+        flat = jnp.asarray(flat, jnp.uint64)
+        flat_hi = (flat >> np.uint64(32)).astype(_U32)
+        flat_lo = (flat & np.uint64(0xFFFFFFFF)).astype(_U32)
     salts = drm_salts(rank_min, rank_max, seed)
-    return _generate(
-        flat, salts, int(rank_min), int(rank_max), int(tile_n),
+    return _generate_pairs(
+        flat_hi, flat_lo, salts, int(rank_min), int(rank_max), int(tile_n),
         bool(interpret),
     )
 
@@ -237,10 +269,9 @@ def inds_to_normal_pallas(
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Drop-in (transposed, float32) analog of ``hash_rng.inds_to_normal``:
-    returns (rank, N) instead of (N, rank)."""
-    from tt_sketch_tpu.rng.hash_rng import _flat_index
-
-    flat = _flat_index(jnp.asarray(indices), shape)
+    returns (rank, N) instead of (N, rank).  The flatten runs in native
+    u32 pairs (``flat_u32_pairs``) — no emulated-u64 device arithmetic."""
     return lazy_gaussian_pallas(
-        flat, rank_min, rank_max, seed, interpret=interpret
+        flat_u32_pairs(indices, shape), rank_min, rank_max, seed,
+        interpret=interpret,
     )

@@ -69,12 +69,12 @@ class ModePlan:
 
     - ``sorted_entries`` (nnz,): ``entries[perm]`` (kept consistent by
       ``SparseTensor.astype``/``__mul__``).
-    - ``flat_left`` (nnz,) u64 or None: flat prefix index over modes
-      ``0..μ-1`` at sorted order (hash input for the left DRM rows of
-      Ψ_μ); None for μ=0.
-    - ``flat_right`` (nnz,) u64 or None: flat suffix index over modes
-      ``d-1..μ+1`` (the transposed-tensor prefix the right DRM hashes);
-      None for μ=d-1.
+    - ``flat_left`` ((nnz,) u32 hi, (nnz,) u32 lo) or None: flat prefix
+      index over modes ``0..μ-1`` at sorted order (hash input for the
+      left DRM rows of Ψ_μ), split into the u32 pair the kernel consumes;
+      None for μ=0.
+    - ``flat_right`` — same for the suffix over modes ``d-1..μ+1`` (the
+      transposed-tensor prefix the right DRM hashes); None for μ=d-1.
     """
 
     def __init__(
@@ -221,22 +221,30 @@ def build_mode_plan(
     if full_indices is not None and entries is not None:
         from tt_sketch_tpu.rng.hash_rng import _flat_index_np
 
+        def _pairs(flat_u64):
+            # (hi, lo) uint32 pair — the layout the fused kernel consumes
+            # directly (u64 device arithmetic is emulated on TPU)
+            return (
+                (flat_u64 >> np.uint64(32)).astype(np.uint32),
+                (flat_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            )
+
         full_indices = np.asarray(full_indices)
         shape = tuple(int(s) for s in shape)
         d = len(shape)
         sorted_entries = np.asarray(entries)[perm]
         if mu > 0:
-            flat_left = _flat_index_np(
+            flat_left = _pairs(_flat_index_np(
                 full_indices[:mu][:, perm], shape[:mu]
-            )
+            ))
         if mu < d - 1:
             # The right DRM hashes the *transposed* tensor's prefix
             # (drm/base.py handle_transpose): modes d-1..μ+1, shape
             # reversed to match.
-            flat_right = _flat_index_np(
+            flat_right = _pairs(_flat_index_np(
                 full_indices[::-1][: d - 1 - mu][:, perm],
                 shape[::-1][: d - 1 - mu],
-            )
+            ))
     return ModePlan(
         perm, local_idx, slot_rows, n_chunks, span, C,
         sorted_entries=sorted_entries, flat_left=flat_left,
