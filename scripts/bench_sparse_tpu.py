@@ -40,7 +40,9 @@ def main() -> int:
         help="disable the sorted/grouped psi plan (kernels/sparse_plan.py)",
     )
     p.add_argument("--chunk", type=int, default=None)
-    p.add_argument("--threshold", type=int, default=512)
+    # Plan every mode > 16: with the fused psi+omega kernels the whole
+    # sketch then runs without materialized DRM row lists.
+    p.add_argument("--threshold", type=int, default=16)
     args = p.parse_args()
 
     if args.platform == "cpu":

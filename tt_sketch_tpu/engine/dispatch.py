@@ -192,6 +192,15 @@ def general_sketch(
 
     right_rank_rev = right_drm.rank[::-1]
 
+    # Streaming only: give the Ω/Ψ kernels access to the DRM objects so
+    # hash-family DRMs can take the fused in-kernel-generation paths
+    # (sequential methods feed chain states that only exist as arrays).
+    drm_kwargs = (
+        {"left_drm": left_drm, "right_drm": right_drm}
+        if method == SketchMethod.streaming
+        else {}
+    )
+
     Omega_mats: List[jnp.ndarray] = []
     if method != SketchMethod.hmt:
         omega_method = OMEGA_METHODS[type(tensor)]
@@ -204,6 +213,7 @@ def general_sketch(
                     tensor=tensor,
                     mu=mu,
                     omega_shape=omega_shape,
+                    **drm_kwargs,
                 )
             )
 
@@ -213,15 +223,6 @@ def general_sketch(
 
     Psi_cores: List[jnp.ndarray] = []
     psi_method = PSI_METHODS[type(tensor)]
-    # Streaming only: give the Ψ kernels access to the DRM objects so
-    # hash-family DRMs can take the fused sorted-stream path (the sparse
-    # kernel regenerates rows in-kernel; sequential methods feed chain
-    # states that only exist as materialized arrays).
-    drm_kwargs = (
-        {"left_drm": left_drm, "right_drm": right_drm}
-        if method == SketchMethod.streaming
-        else {}
-    )
     for mu in range(n_dims):
         if mu > 0:
             if sequential:

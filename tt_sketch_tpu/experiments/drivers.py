@@ -412,7 +412,13 @@ def run_frostt(
 
     for name in names:
         try:
-            tensor = load_frostt(name, cache_dir=cache_dir, download=False)
+            # The f32 (TPU) path sketches through the fully fused plan
+            # (kernels/pallas_psi.py): plans built host-side at load.
+            tensor = load_frostt(
+                name, cache_dir=cache_dir, download=False,
+                psi_plan=jdtype is not None,
+                plan_kwargs=dict(threshold=16) if jdtype is not None else None,
+            )
         except (FileNotFoundError, KeyError) as e:
             print(f"[frostt] skipping {name!r}: {e}")
             continue

@@ -297,3 +297,70 @@ def psi_fused_slabs(
         ),
         interpret=interpret,
     )(loc2, se2, lf_hi, lf_lo, ls_hi, ls_lo)
+
+
+# -- fused Ω kernel ----------------------------------------------------------
+#
+# Ω_μ = Σ_k entries[k] · L_μ[:,k] ⊗ R_μ[:,k] with both row families hashed
+# in-kernel (nnz order — Ω is permutation invariant, no sort needed) and
+# the (r1, r2) output accumulated across grid steps.  With Ψ fully fused,
+# this removes the materialized contraction lists from the program
+# entirely (measured 30.6 ms of a 73 ms uber sketch).
+
+
+def _omega_kernel(e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref, rf_lo_ref,
+                  ls_hi_ref, ls_lo_ref, rs_hi_ref, rs_lo_ref, out_ref):
+    c = pl.program_id(0)
+    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
+                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1p, C)
+    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
+                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
+    le = L * e_ref[0, :][None, :]
+    acc = jnp.dot(le, R.T, preferred_element_type=out_ref.dtype)
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[:, :] = acc
+
+    @pl.when(c != 0)
+    def _accum():
+        out_ref[:, :] += acc
+
+
+@partial(jax.jit, static_argnames=("chunk", "interpret"))
+def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 8192,
+                interpret: bool = False):
+    """(R1_pad, R2_pad) float32 Ω block with DRM rows hashed in-kernel.
+
+    ``e`` (nnz,) entries, ``lflat``/``rflat`` (hi, lo) u32 pair tuples of
+    the flat prefix/suffix indices, ``lsalts``/``rsalts`` (r,) uint64
+    column salts.  Zero-padded tail entries contribute exact zeros."""
+    nnz = e.shape[0]
+    C = int(chunk)
+    n_chunks = max(1, -(-nnz // C))
+    N_pad = n_chunks * C
+    e2 = jnp.pad(e.astype(jnp.float32), (0, N_pad - nnz)).reshape(1, N_pad)
+    R1p = _round8(lsalts.shape[0])
+    R2p = _round8(rsalts.shape[0])
+    lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
+    rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
+    ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
+    rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+
+    col_spec = pl.BlockSpec(
+        (1, C), lambda c: (_i32(0), c), memory_space=pltpu.VMEM
+    )
+    salt_spec = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _omega_kernel,
+        out_shape=jax.ShapeDtypeStruct((R1p, R2p), jnp.float32),
+        grid=(n_chunks,),
+        in_specs=[col_spec] * 5 + [salt_spec(R1p)] * 2 + [salt_spec(R2p)] * 2,
+        out_specs=pl.BlockSpec(
+            (R1p, R2p), lambda c: (_i32(0), _i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(e2, lf_hi, lf_lo, rf_hi, rf_lo, ls_hi, ls_lo, rs_hi, rs_lo)

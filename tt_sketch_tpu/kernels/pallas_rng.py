@@ -232,7 +232,7 @@ def lazy_gaussian_pallas(
     rank_min: int,
     rank_max: int,
     seed,
-    tile_n: int = 2048,
+    tile_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Generate the (rank_max-rank_min, N) float32 lazy-Gaussian DRM block
@@ -253,6 +253,15 @@ def lazy_gaussian_pallas(
         flat = jnp.asarray(flat, jnp.uint64)
         flat_hi = (flat >> np.uint64(32)).astype(_U32)
         flat_lo = (flat & np.uint64(0xFFFFFFFF)).astype(_U32)
+    if tile_n is None:
+        # Grid-step overhead is ~5-10 us on the v5e, so small tiles leave
+        # the kernel sequencing-bound (measured 13.5 ms for 33M samples at
+        # tile 2048).  Aim for ~128K hashes per step: the u32-pair hash
+        # body keeps ~10 live block-sized temporaries, so the scoped VMEM
+        # footprint is ~40x the (R_pad, tile_n) u32 block (16 MB limit;
+        # 2^20 hashes/step OOMed the Mosaic stack at R_pad=24).
+        R_pad = _round_up(max(rank_max - rank_min, 1), 8)
+        tile_n = max(2048, min(16384, _round_up(2 ** 17 // R_pad, 1024)))
     salts = drm_salts(rank_min, rank_max, seed)
     return _generate_pairs(
         flat_hi, flat_lo, salts, int(rank_min), int(rank_max), int(tile_n),

@@ -76,15 +76,87 @@ def sketch_psi_dense(left_sketch, right_sketch, *, tensor, mu, **kwargs):
 
 # -- sparse ------------------------------------------------------------------
 
-def sketch_omega_sparse(left_sketch, right_sketch, *, tensor, **kwargs):
+def _can_fuse_omega(tensor, left_drm, right_drm) -> bool:
+    from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+
+    return (
+        _use_pallas_psi(tensor.entries.dtype)
+        and isinstance(left_drm, SparseGaussianDRM)
+        and left_drm._use_pallas()
+        and isinstance(right_drm, SparseGaussianDRM)
+        and right_drm._use_pallas()
+    )
+
+
+def _omega_sparse_fused(tensor, mu, left_drm, right_drm):
+    """Ω_μ with both DRM row families hashed inside the accumulating
+    Pallas kernel (kernels/pallas_psi.py:omega_fused) — removes the
+    materialized contraction lists from the streaming program (30.6 ms of
+    the 73 ms uber-scale sketch was list generation).  Seed/rank
+    derivation identical to ``SparseGaussianDRM.sketch_sparse``."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import omega_fused
+    from tt_sketch_tpu.kernels.pallas_rng import drm_salts, flat_u32_pairs
+
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    seed_l = (
+        jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu)
+    ) % jnp.uint64(2 ** 63)
+    lsalts = drm_salts(left_drm.rank_min[mu], left_drm.rank_max[mu], seed_l)
+    mu_t = d - 2 - mu
+    seed_r = (
+        jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(mu_t)
+    ) % jnp.uint64(2 ** 63)
+    rsalts = drm_salts(
+        right_drm.rank_min[mu_t], right_drm.rank_max[mu_t], seed_r
+    )
+    lflat = flat_u32_pairs(tensor.indices[: mu + 1], tensor.shape[: mu + 1])
+    rflat = flat_u32_pairs(
+        tensor.indices[::-1][: d - 1 - mu], tensor.shape[::-1][: d - 1 - mu]
+    )
+    om = omega_fused(
+        tensor.entries, lflat, rflat, lsalts, rsalts,
+        interpret=pallas_interpret(),
+    )
+    r1 = left_drm.rank[mu]
+    r2 = right_drm.rank[mu_t]
+    return om[:r1, :r2].astype(dtype)
+
+
+def sketch_omega_sparse(
+    left_sketch, right_sketch, *, tensor, mu=None,
+    left_drm=None, right_drm=None, **kwargs
+):
     """Ω = Σ_k entries[k] · left[:,k] ⊗ right[:,k].
 
-    Chunked over nnz (one traced ``lax.scan`` body) above
-    ``_SPARSE_PSI_CHUNK``: the unchunked full-nnz GEMM lets XLA fuse the
-    DRM row generation into a padded (nnz, …) temp — observed 12.6 GB for
-    a logical 0.5 GB operand at FROSTT's 3.3M nnz (OOM on a 16 GB chip)."""
+    Fast paths in preference order: fused in-kernel row generation
+    (hash-family DRMs on TPU); a single full-nnz GEMM (TPU f32/bf16 —
+    the Pallas-generated rows are opaque to XLA, so the fusion blowup
+    below cannot happen); chunked ``lax.scan`` otherwise: the unchunked
+    full-nnz GEMM lets XLA fuse the *jnp* hash-RNG row generation into a
+    padded (nnz, …) temp — observed 12.6 GB for a logical 0.5 GB operand
+    at FROSTT's 3.3M nnz (OOM on a 16 GB chip)."""
+    if mu is not None and _can_fuse_omega(tensor, left_drm, right_drm):
+        return _omega_sparse_fused(tensor, mu, left_drm, right_drm)
+
+    def _rows_opaque(drm) -> bool:
+        # Safe for the unchunked GEMM: rows that XLA cannot re-expand into
+        # a padded elementwise-generated temp — Pallas-generated hash rows
+        # (opaque custom calls) or TT-DRM chain products (real matmuls).
+        from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+        from tt_sketch_tpu.drm.tensor_train_drm import TensorTrainDRM
+
+        return isinstance(drm, TensorTrainDRM) or (
+            isinstance(drm, SparseGaussianDRM) and drm._use_pallas()
+        )
+
     nnz = tensor.entries.shape[0]
-    if nnz <= _SPARSE_PSI_CHUNK:
+    if nnz <= _SPARSE_PSI_CHUNK or (
+        _use_pallas_psi(tensor.entries.dtype)
+        and _rows_opaque(left_drm)
+        and _rows_opaque(right_drm)
+    ):
         return (left_sketch * tensor.entries) @ right_sketch.T
     C = _SPARSE_PSI_CHUNK
     n_chunks = -(-nnz // C)

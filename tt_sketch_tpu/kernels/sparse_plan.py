@@ -156,6 +156,8 @@ def _pick_chunk(nnz: int, n_values: int) -> int:
     868131 rows) want small chunks; dense rows want big ones (better MXU
     shapes, fewer chunks)."""
     avg = max(nnz / max(n_values, 1), 1.0)
+    if avg >= 512:
+        return 4096  # dense rows: fewer grid steps (step overhead ~5-10us)
     if avg >= 256:
         return 2048
     if avg >= 32:
