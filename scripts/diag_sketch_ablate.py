@@ -27,6 +27,7 @@ def main() -> int:
     p.add_argument("--rank", type=int, default=10)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--no-plan", action="store_true")
+    p.add_argument("--threshold", type=int, default=16)
     args = p.parse_args()
 
     import jax
@@ -46,7 +47,8 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"platform={dev.platform}", flush=True)
     host = load_frostt(args.name, cache_dir="data", download=False,
-                       psi_plan=not args.no_plan)
+                       psi_plan=not args.no_plan,
+                       plan_kwargs=dict(threshold=args.threshold))
     d = len(host.shape)
     tensor = SparseTensor(
         host.shape,
@@ -79,6 +81,26 @@ def main() -> int:
             om(lc[mu], rc[mu], tensor=t, mu=mu,
                omega_shape=(r1, r2))
             for mu in range(d - 1)
+        ]
+
+    @jax.jit
+    def om_only(t, ld, rd):
+        om = OMEGA_METHODS[SparseTensor]
+        return [
+            om(None, None, tensor=t, mu=mu, omega_shape=(r1, r2),
+               left_drm=ld, right_drm=rd)
+            for mu in range(d - 1)
+        ]
+
+    @jax.jit
+    def psi_only(t, ld, rd):
+        psi = PSI_METHODS[SparseTensor]
+        return [
+            psi(None, None, tensor=t, mu=mu,
+                psi_shape=(r1 if mu else 1, t.shape[mu],
+                           r2 if mu < d - 1 else 1),
+                left_drm=ld, right_drm=rd)
+            for mu in range(d)
         ]
 
     @jax.jit
@@ -116,8 +138,9 @@ def main() -> int:
     fence_cost = fc[1]
     print(f"fence cost {fence_cost*1e3:.1f} ms", flush=True)
 
-    for label, fn in [("lists", lists), ("lists+om", lists_om),
-                      ("lists+psi", lists_psi), ("full", full)]:
+    for label, fn in [("om-only", om_only), ("psi-only", psi_only),
+                      ("full", full), ("lists", lists),
+                      ("lists+om", lists_om), ("lists+psi", lists_psi)]:
         ld, rd = drms(1000)
         out = fn(tensor, ld, rd)
         jax.block_until_ready(out)

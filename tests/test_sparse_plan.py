@@ -284,13 +284,16 @@ def test_fused_streaming_sketch_matches_plain(monkeypatch):
     )
     s0 = stream_sketch(t_plain, **kw)
     s1 = stream_sketch(t_plan, **kw)
-    for a, b in zip(s0.sketch_.Psi_cores, s1.sketch_.Psi_cores):
+    for a, b in zip(
+        s0.sketch_.Psi_cores + s0.sketch_.Omega_mats,
+        s1.sketch_.Psi_cores + s1.sketch_.Omega_mats,
+    ):
+        # Ω too is only summation-order-close: without a plan it runs the
+        # nnz-order fused kernel, with one the merged sorted-order kernel
         scale = float(jnp.max(jnp.abs(a)))
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-5 * scale
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale
         )
-    for a, b in zip(s0.sketch_.Omega_mats, s1.sketch_.Omega_mats):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_fused_blocked_rank_slice(monkeypatch):
@@ -349,4 +352,40 @@ def test_fused_omega_matches_rows(monkeypatch):
         om_fused = np.asarray(_omega_sparse_fused(t, mu, ld, rd))
         np.testing.assert_allclose(
             om_fused, om_ref, atol=1e-4 * np.abs(om_ref).max()
+        )
+
+
+def test_merged_psi_omega_sketch(monkeypatch):
+    """The engine's fully fused sparse streaming path (merged Ψ+Ω kernel
+    on planned modes, shared R generation) equals the plan-free fused
+    path to f32 summation tolerance, and recovers a low-rank tensor."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(12)
+    shape = (11, 9, 30, 25)
+    nnz = 2000
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz).astype(np.float32)
+    t_plain = SparseTensor(shape, idx, ent)
+    t_plan = t_plain.with_psi_plan(
+        indices=idx, entries=ent, threshold=8, chunk=128
+    )
+    assert all(p.flat_left_om is not None for p in t_plan.psi_plan[:-1])
+    # transposed plans drop the inclusive-prefix flats (not representable)
+    assert all(
+        p.flat_left_om is None for p in t_plan.T.psi_plan
+    )
+    kw = dict(
+        left_rank=4, right_rank=8, left_drm_type=SparseGaussianDRM,
+        right_drm_type=SparseGaussianDRM, dtype=jnp.float32, seed=7,
+    )
+    s0 = stream_sketch(t_plain, **kw)
+    s1 = stream_sketch(t_plan, **kw)
+    for a, b in zip(
+        s0.sketch_.Psi_cores + s0.sketch_.Omega_mats,
+        s1.sketch_.Psi_cores + s1.sketch_.Omega_mats,
+    ):
+        scale = float(jnp.max(jnp.abs(a))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale
         )

@@ -181,6 +181,19 @@ def general_sketch(
     """Compute the (Ψ, Ω) sketch of ``tensor`` with the given DRM pair."""
     n_dims = len(tensor.shape)
 
+    if (
+        method == SketchMethod.streaming
+        and isinstance(tensor, SparseTensor)
+        and K._can_fuse_omega(tensor, left_drm, right_drm)
+    ):
+        # Hash-family DRM pair on the TPU fast path: the whole sketch runs
+        # through the fused Pallas kernels (rows hashed in-kernel, merged
+        # Ψ+Ω per planned mode) with no materialized contraction lists.
+        Psi_cores, Omega_mats = K.sparse_streaming_sketch_fused(
+            tensor, left_drm, right_drm
+        )
+        return SketchContainer(Psi_cores, Omega_mats)
+
     if method != SketchMethod.hmt:
         if left_drm is None:
             raise ValueError(f"left_drm must be provided for method '{method}'")

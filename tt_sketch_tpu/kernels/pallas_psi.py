@@ -328,7 +328,7 @@ def _omega_kernel(e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref, rf_lo_ref,
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
-def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 8192,
+def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 1024,
                 interpret: bool = False):
     """(R1_pad, R2_pad) float32 Ω block with DRM rows hashed in-kernel.
 
@@ -364,3 +364,165 @@ def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 8192,
         ),
         interpret=interpret,
     )(e2, lf_hi, lf_lo, rf_hi, rf_lo, ls_hi, ls_lo, rs_hi, rs_lo)
+
+
+# -- merged Ψ+Ω kernel -------------------------------------------------------
+#
+# Ψ_μ and Ω_μ both contract against R_μ; running them in one kernel over
+# the mode-μ-sorted stream generates R_μ ONCE (Ω is permutation invariant,
+# so sorted order is as good as nnz order) — r2·nnz fewer hashes per
+# boundary, one fewer kernel launch, and the Ω accumulator rides along in
+# VMEM.  Ω's left rows hash the inclusive prefix 0..μ from the plan's
+# ``flat_left_om``.
+
+
+def _merged_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
+                   rf_lo_ref, lo_hi_ref, lo_lo_ref, ls_hi_ref, ls_lo_ref,
+                   rs_hi_ref, rs_lo_ref, os_hi_ref, os_lo_ref,
+                   slab_ref, om_ref, *, span: int):
+    c = pl.program_id(0)
+    C = loc_ref.shape[1]
+    R1 = ls_hi_ref.shape[0]
+    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
+                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
+    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
+                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1p, C)
+    e = e_ref[0, :][None, :]
+    le = L * e
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(slab_ref.dtype)
+    m1 = (onehot[:, None, :] * le[None, :, :]).reshape(span * R1, C)
+    slab_ref[0] = jnp.dot(m1, R.T, preferred_element_type=slab_ref.dtype)
+
+    Lo = _gen_rows(os_hi_ref[:, :], os_lo_ref[:, :],
+                   lo_hi_ref[:, :], lo_lo_ref[:, :])         # (R1op, C)
+    acc = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
+
+    @pl.when(c == 0)
+    def _init():
+        om_ref[:, :] = acc
+
+    @pl.when(c != 0)
+    def _accum():
+        om_ref[:, :] += acc
+
+
+def _merged_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref,
+                          lo_hi_ref, lo_lo_ref, rs_hi_ref, rs_lo_ref,
+                          os_hi_ref, os_lo_ref, slab_ref, om_ref, *,
+                          span: int):
+    c = pl.program_id(0)
+    C = loc_ref.shape[1]
+    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
+                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
+    e = e_ref[0, :][None, :]
+    re = R * e
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(slab_ref.dtype)
+    slab_ref[0] = jnp.dot(onehot, re.T, preferred_element_type=slab_ref.dtype)
+
+    Lo = _gen_rows(os_hi_ref[:, :], os_lo_ref[:, :],
+                   lo_hi_ref[:, :], lo_lo_ref[:, :])         # (R1op, C)
+    acc = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
+
+    @pl.when(c == 0)
+    def _init():
+        om_ref[:, :] = acc
+
+    @pl.when(c != 0)
+    def _accum():
+        om_ref[:, :] += acc
+
+
+@partial(
+    jax.jit, static_argnames=("n_chunks", "span", "chunk", "interpret")
+)
+def psi_omega_merged_slabs(
+    loc,
+    se,
+    lflat,
+    rflat,
+    oflat,
+    lsalts,
+    rsalts,
+    osalts,
+    n_chunks: int,
+    span: int,
+    chunk: int,
+    interpret: bool = False,
+):
+    """One pass per chunk computing the Ψ_μ slab stack AND the Ω_μ
+    accumulator, sharing the in-kernel generation of R_μ.
+
+    Returns ``(slabs, om)``: slabs as in :func:`psi_fused_slabs` (both
+    variants), ``om`` (R1o_pad, R2_pad) float32.  ``lflat`` may be None
+    (μ=0: Ψ has no left side, Ω still has its inclusive-prefix rows)."""
+    C = chunk
+    N_pad = n_chunks * C
+    nnz = se.shape[0]
+    se2 = jnp.pad(se.astype(jnp.float32), (0, N_pad - nnz)).reshape(1, N_pad)
+    loc2 = loc.reshape(1, N_pad)
+
+    col_spec = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, C), lambda c: (_i32(0), c), memory_space=pltpu.VMEM
+    )
+    salt_spec = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+    R2p = _round8(rsalts.shape[0])
+    R1op = _round8(osalts.shape[0])
+    rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
+    lo_hi, lo_lo = _pad_pair_cols(oflat, N_pad)
+    rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+    os_hi, os_lo = _split_u64_rows(osalts, R1op)
+    om_spec = pl.BlockSpec(
+        (R1op, R2p), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+
+    if lflat is not None:
+        R1p = _round8(lsalts.shape[0])
+        lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
+        ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
+        return pl.pallas_call(
+            partial(_merged_kernel, span=span),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_chunks, span * R1p, R2p),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((R1op, R2p), jnp.float32),
+            ),
+            grid=(n_chunks,),
+            in_specs=[col_spec(1)] * 8 + [salt_spec(R1p)] * 2
+            + [salt_spec(R2p)] * 2 + [salt_spec(R1op)] * 2,
+            out_specs=(
+                pl.BlockSpec(
+                    (1, span * R1p, R2p), lambda c: (c, _i32(0), _i32(0)),
+                    memory_space=pltpu.VMEM,
+                ),
+                om_spec,
+            ),
+            interpret=interpret,
+        )(loc2, se2, lf_hi, lf_lo, rf_hi, rf_lo, lo_hi, lo_lo,
+          ls_hi, ls_lo, rs_hi, rs_lo, os_hi, os_lo)
+
+    return pl.pallas_call(
+        partial(_merged_kernel_noleft, span=span),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_chunks, span, R2p), jnp.float32),
+            jax.ShapeDtypeStruct((R1op, R2p), jnp.float32),
+        ),
+        grid=(n_chunks,),
+        in_specs=[col_spec(1)] * 6 + [salt_spec(R2p)] * 2
+        + [salt_spec(R1op)] * 2,
+        out_specs=(
+            pl.BlockSpec(
+                (1, span, R2p), lambda c: (c, _i32(0), _i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            om_spec,
+        ),
+        interpret=interpret,
+    )(loc2, se2, rf_hi, rf_lo, lo_hi, lo_lo, rs_hi, rs_lo, os_hi, os_lo)

@@ -534,3 +534,140 @@ def sketch_psi_tucker(left_sketch, right_sketch, *, tensor, mu, **kwargs):
         tmp = jnp.einsum("ij,jkl->ikl", left_sketch.T, ord3)
         Psi = jnp.einsum("ikl,lm->ikm", tmp, right_sketch)
     return jnp.einsum("ijk,jl->ilk", Psi, tensor.factors[mu])
+
+
+def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
+    """Ψ_μ and Ω_μ from the merged kernel (pallas_psi.py): one pass over
+    the mode-sorted stream, R_μ generated once for both."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import psi_omega_merged_slabs
+    from tt_sketch_tpu.kernels.pallas_rng import drm_salts
+
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
+    lsalts = None
+    r1 = 1
+    if mu > 0:
+        seed_l = (
+            jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu - 1)
+        ) % jnp.uint64(2 ** 63)
+        lsalts = drm_salts(
+            left_drm.rank_min[mu - 1], left_drm.rank_max[mu - 1], seed_l
+        )
+        r1 = left_drm.rank[mu - 1]
+    mu_t = d - 2 - mu
+    seed_r = (
+        jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(mu_t)
+    ) % jnp.uint64(2 ** 63)
+    rsalts = drm_salts(
+        right_drm.rank_min[mu_t], right_drm.rank_max[mu_t], seed_r
+    )
+    r2 = right_drm.rank[mu_t]
+    seed_lo = (
+        jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu)
+    ) % jnp.uint64(2 ** 63)
+    osalts = drm_salts(left_drm.rank_min[mu], left_drm.rank_max[mu], seed_lo)
+    r1_om = left_drm.rank[mu]
+
+    slabs, om = psi_omega_merged_slabs(
+        plan.local_idx,
+        plan.sorted_entries,
+        plan.flat_left if mu > 0 else None,
+        plan.flat_right,
+        plan.flat_left_om,
+        lsalts,
+        rsalts,
+        osalts,
+        n_chunks=nc,
+        span=S,
+        chunk=C,
+        interpret=pallas_interpret(),
+    )
+    if mu > 0:
+        R1p = slabs.shape[1] // S
+        flat = (
+            slabs.reshape(nc, S, R1p, slabs.shape[2])[:, :, :r1, :r2]
+            .reshape(nc * S, r1 * r2)
+        )
+    else:
+        flat = slabs[:, :, :r2].reshape(nc * S, r2)
+    psi = (
+        jnp.zeros((n_mu, r1 * r2), jnp.float32)
+        .at[plan.slot_rows]
+        .add(flat, mode="drop")
+    )
+    psi = psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
+    return psi, om[:r1_om, :r2].astype(dtype)
+
+
+def sparse_streaming_sketch_fused(tensor, left_drm, right_drm):
+    """Full streaming (Ψ list, Ω list) of a SparseTensor with hash-family
+    DRMs, entirely through the fused Pallas kernels — no materialized DRM
+    contraction lists (the generic engine's lists cost 30.6 ms of a 73 ms
+    sketch at FROSTT-uber scale).
+
+    Per mode: the merged Ψ+Ω kernel where the plan carries the inclusive
+    prefix (R_μ hashed once for both); otherwise fused Ψ + standalone
+    fused Ω; modes without plans fall back to the segment path over
+    lazily generated rows.  Results equal the generic engine's to f32
+    summation tolerance (same generator, different grouping)."""
+    from tt_sketch_tpu.kernels.pallas_rng import inds_to_normal_pallas
+
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    plans = getattr(tensor, "psi_plan", None) or (None,) * d
+    lrow_cache, rrow_cache = {}, {}
+
+    def _lrows(k):
+        if k not in lrow_cache:
+            seed = (
+                jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(k)
+            ) % jnp.uint64(2 ** 63)
+            lrow_cache[k] = inds_to_normal_pallas(
+                tensor.indices[: k + 1], tensor.shape[: k + 1],
+                left_drm.rank_min[k], left_drm.rank_max[k], seed,
+            ).astype(dtype)
+        return lrow_cache[k]
+
+    def _rrows(kt):
+        if kt not in rrow_cache:
+            seed = (
+                jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(kt)
+            ) % jnp.uint64(2 ** 63)
+            rrow_cache[kt] = inds_to_normal_pallas(
+                tensor.indices[::-1][: kt + 1],
+                tensor.shape[::-1][: kt + 1],
+                right_drm.rank_min[kt], right_drm.rank_max[kt], seed,
+            ).astype(dtype)
+        return rrow_cache[kt]
+
+    Psi = []
+    Om = [None] * (d - 1)
+    for mu in range(d):
+        p = plans[mu]
+        fused_psi = p is not None and p.sorted_entries is not None
+        merged = (
+            fused_psi and mu < d - 1 and p.flat_left_om is not None
+        )
+        if merged:
+            psi_mu, om_mu = _psi_omega_sparse_merged(
+                tensor, mu, p, tensor.shape[mu], left_drm, right_drm
+            )
+            Om[mu] = om_mu
+        elif fused_psi:
+            psi_mu = _psi_sparse_fused(
+                tensor, mu, p, tensor.shape[mu], left_drm, right_drm
+            )
+        else:
+            ls = _lrows(mu - 1) if mu > 0 else None
+            rs = _rrows(d - 2 - mu) if mu < d - 1 else None
+            psi_mu = _psi_sparse_segment(
+                ls, rs, tensor.entries, tensor.indices[mu],
+                tensor.shape[mu],
+            )
+        Psi.append(psi_mu)
+    for mu in range(d - 1):
+        if Om[mu] is None:
+            Om[mu] = _omega_sparse_fused(tensor, mu, left_drm, right_drm)
+    return Psi, Om

@@ -75,6 +75,12 @@ class ModePlan:
       None for μ=0.
     - ``flat_right`` — same for the suffix over modes ``d-1..μ+1`` (the
       transposed-tensor prefix the right DRM hashes); None for μ=d-1.
+    - ``flat_left_om`` — prefix over modes ``0..μ`` (inclusive) at sorted
+      order: the hash input for Ω_μ's left rows in the MERGED Ψ+Ω kernel
+      (which shares the right-row generation between Ψ_μ and Ω_μ); None
+      for μ=d-1 and for transposed plans (a transposed tensor's Ω needs
+      an inclusive *suffix*, which is not stored — the standalone fused
+      Ω kernel covers that case in nnz order).
     """
 
     def __init__(
@@ -88,6 +94,7 @@ class ModePlan:
         sorted_entries=None,
         flat_left=None,
         flat_right=None,
+        flat_left_om=None,
     ) -> None:
         self.perm = perm
         self.local_idx = local_idx
@@ -98,11 +105,13 @@ class ModePlan:
         self.sorted_entries = sorted_entries
         self.flat_left = flat_left
         self.flat_right = flat_right
+        self.flat_left_om = flat_left_om
 
     def tree_flatten(self):
         children = (
             self.perm, self.local_idx, self.slot_rows,
             self.sorted_entries, self.flat_left, self.flat_right,
+            self.flat_left_om,
         )
         aux = (self.n_chunks, self.span, self.chunk)
         return children, aux
@@ -112,7 +121,7 @@ class ModePlan:
         return cls(
             children[0], children[1], children[2], *aux,
             sorted_entries=children[3], flat_left=children[4],
-            flat_right=children[5],
+            flat_right=children[5], flat_left_om=children[6],
         )
 
     def transposed(self) -> "ModePlan":
@@ -125,6 +134,7 @@ class ModePlan:
             self.n_chunks, self.span, self.chunk,
             sorted_entries=self.sorted_entries,
             flat_left=self.flat_right, flat_right=self.flat_left,
+            flat_left_om=None,
         )
 
     def map_entries(self, fn) -> "ModePlan":
@@ -138,6 +148,7 @@ class ModePlan:
             self.n_chunks, self.span, self.chunk,
             sorted_entries=fn(self.sorted_entries),
             flat_left=self.flat_left, flat_right=self.flat_right,
+            flat_left_om=self.flat_left_om,
         )
 
     def __repr__(self) -> str:
@@ -219,7 +230,7 @@ def build_mode_plan(
         np.minimum(slot_ranks, uniq.shape[0])
     ].astype(np.int32)
 
-    sorted_entries = flat_left = flat_right = None
+    sorted_entries = flat_left = flat_right = flat_left_om = None
     if full_indices is not None and entries is not None:
         from tt_sketch_tpu.rng.hash_rng import _flat_index_np
 
@@ -240,6 +251,9 @@ def build_mode_plan(
                 full_indices[:mu][:, perm], shape[:mu]
             ))
         if mu < d - 1:
+            flat_left_om = _pairs(_flat_index_np(
+                full_indices[: mu + 1][:, perm], shape[: mu + 1]
+            ))
             # The right DRM hashes the *transposed* tensor's prefix
             # (drm/base.py handle_transpose): modes d-1..μ+1, shape
             # reversed to match.
@@ -250,7 +264,7 @@ def build_mode_plan(
     return ModePlan(
         perm, local_idx, slot_rows, n_chunks, span, C,
         sorted_entries=sorted_entries, flat_left=flat_left,
-        flat_right=flat_right,
+        flat_right=flat_right, flat_left_om=flat_left_om,
     )
 
 
