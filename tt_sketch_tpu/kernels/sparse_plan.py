@@ -159,13 +159,17 @@ class ModePlan:
         )
 
 
-def _pick_chunk(nnz: int, n_values: int) -> int:
+def _pick_chunk(nnz: int, n_values: int, boundary: bool = False) -> int:
     """Chunk size from the mode's average occupancy per occurring value.
 
     One-hot FLOPs per nnz = span · r1·r2 and a chunk spans roughly
     ``chunk / avg`` values, so sparse rows (lbnl-network: ~2 nnz/row over
     868131 rows) want small chunks; dense rows want big ones (better MXU
-    shapes, fewer chunks)."""
+    shapes, fewer chunks).  Boundary modes (first/last) never build the
+    (span·r1, chunk) intermediate — their kernels contract the one-hot
+    directly — so sparse-row boundary modes can take much larger chunks
+    (fewer grid steps; at lbnl's 868131-mode, chunk 256 costs 6637 steps
+    of ~3-5 us sequencing each)."""
     avg = max(nnz / max(n_values, 1), 1.0)
     if avg >= 512:
         return 4096  # dense rows: fewer grid steps (step overhead ~5-10us)
@@ -173,7 +177,7 @@ def _pick_chunk(nnz: int, n_values: int) -> int:
         return 2048
     if avg >= 32:
         return 1024
-    return 256
+    return 1024 if boundary else 256
 
 
 def build_mode_plan(
@@ -202,7 +206,13 @@ def build_mode_plan(
     # values-per-chunk instead of the raw index gap.
     uniq, ranks = np.unique(sidx, return_inverse=True)
     ranks = ranks.astype(np.int64)
-    C = int(chunk) if chunk is not None else _pick_chunk(nnz, len(uniq))
+    boundary = mu is not None and shape is not None and (
+        mu == 0 or mu == len(shape) - 1
+    )
+    C = (
+        int(chunk) if chunk is not None
+        else _pick_chunk(nnz, len(uniq), boundary=boundary)
+    )
 
     n_chunks = max(1, -(-nnz // C))
     pad = n_chunks * C - nnz
