@@ -52,19 +52,17 @@ def frostt() -> None:
     g = defaultdict(lambda: defaultdict(list))
     for r in rows:
         rank = r["rank"] or r["left_rank"]
-        g[(r["dataset"], r["name"], int(float(rank)))]["e"].append(
-            float(r["error"])
-        )
-        g[(r["dataset"], r["name"], int(float(rank)))]["t"].append(
-            float(r["time_taken"])
-        )
-    print("| dataset | alg | rank | med sample err (n) | med wall |")
-    print("|---|---|---|---|---|")
-    for (ds, alg, rk) in sorted(g):
-        v = g[(ds, alg, rk)]
+        dt = "f32/TPU" if r.get("dtype") == "float32" else "f64/CPU"
+        key = (r["dataset"], r["name"], int(float(rank)), dt)
+        g[key]["e"].append(float(r["error"]))
+        g[key]["t"].append(float(r["time_taken"]))
+    print("| dataset | alg | rank | path | med sample err (n) | med wall |")
+    print("|---|---|---|---|---|---|")
+    for (ds, alg, rk, dt) in sorted(g):
+        v = g[(ds, alg, rk, dt)]
         print(
-            f"| {ds} | {alg} | {rk} | {_med(v['e']):.3f} "
-            f"({len(v['e'])}) | {_med(v['t']):.0f} s |"
+            f"| {ds} | {alg} | {rk} | {dt} | {_med(v['e']):.3f} "
+            f"({len(v['e'])}) | {_med(v['t']):.1f} s |"
         )
 
 
