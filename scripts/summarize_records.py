@@ -51,6 +51,8 @@ def frostt() -> None:
     rows = list(csv.DictReader(open(RES / "frostt.csv")))
     g = defaultdict(lambda: defaultdict(list))
     for r in rows:
+        if not r["error"]:
+            continue  # NaN recorded as blank by the runner
         rank = r["rank"] or r["left_rank"]
         dt = "f32/TPU" if r.get("dtype") == "float32" else "f64/CPU"
         key = (r["dataset"], r["name"], int(float(rank)), dt)

@@ -92,3 +92,49 @@ def test_statistics():
     assert abs(G.mean()) < 0.02
     assert abs(G.std() - 1.0) < 0.02
     assert np.isfinite(G).all()
+
+
+def test_extreme_uniform_is_finite():
+    """u24 = 2^24-1 (probability 6e-8 per sample) must map to a finite
+    quantile: the f32 evaluation of ``u24 + 0.5`` rounds to 2^24
+    (tie-to-even), making u exactly 1.0 and erfinv(±1) = ±inf — this
+    poisoned FROSTT-lbnl-scale sketches (~35 hits per 598M samples) with
+    inf/NaN before the int32 reformulation in ``_normal_from_pair``."""
+    import numpy as np
+
+    from tt_sketch_tpu.rng.hash_rng import hash_int_np
+    from tt_sketch_tpu.kernels.pallas_rng import (
+        drm_salts,
+        lazy_gaussian_pallas,
+    )
+
+    # find inputs whose hash has bits 28..51 (the u24 window) all ones /
+    # all zeros — the two quantile extremes
+    n = 1 << 22
+    found = {}
+    base = 0
+    while len(found) < 2 and base < (1 << 30):
+        ks = np.arange(base, base + n, dtype=np.uint64)
+        h = hash_int_np(ks)
+        u24 = ((h >> np.uint64(28)) & np.uint64(0xFFFFFF)).astype(np.int64)
+        for tag, target in (("hi", (1 << 24) - 1), ("lo", 0)):
+            if tag not in found:
+                w = np.nonzero(u24 == target)[0]
+                if w.size:
+                    found[tag] = int(ks[w[0]])
+        base += n
+    assert len(found) == 2, "no extreme-hash inputs in the search range"
+
+    seed = 12345
+    salt = np.uint64(np.asarray(drm_salts(0, 1, seed))[0])
+    for tag, k in found.items():
+        with np.errstate(over="ignore"):
+            flat = np.uint64(k) - salt  # salt + flat == k (mod 2^64)
+        vals = np.asarray(
+            lazy_gaussian_pallas(
+                jnp.asarray([flat], jnp.uint64), 0, 1, seed, interpret=True
+            )
+        )
+        assert np.all(np.isfinite(vals)), (tag, k, vals)
+        # the extreme quantiles of a 24-bit grid are ~|z| = 5.36
+        assert 5.0 < abs(vals[0, 0]) < 6.0, (tag, vals)

@@ -310,21 +310,18 @@ def psi_fused_slabs(
 
 def _omega_kernel(e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref, rf_lo_ref,
                   ls_hi_ref, ls_lo_ref, rs_hi_ref, rs_lo_ref, out_ref):
-    c = pl.program_id(0)
+    # one (R1p, R2p) partial per chunk; the caller sums over chunks.  An
+    # in-kernel accumulator (same output block revisited across the grid
+    # with @pl.when init) MISCOMPILES on real Mosaic when combined with
+    # other outputs/large grids: lbnl-synthetic showed NaN/inf omegas on
+    # chip while interpret mode was exact.  Per-chunk partials are
+    # KB-scale, so the outside reduction is free.
     L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
                   lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1p, C)
     R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
                   rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
     le = L * e_ref[0, :][None, :]
-    acc = jnp.dot(le, R.T, preferred_element_type=out_ref.dtype)
-
-    @pl.when(c == 0)
-    def _init():
-        out_ref[:, :] = acc
-
-    @pl.when(c != 0)
-    def _accum():
-        out_ref[:, :] += acc
+    out_ref[0] = jnp.dot(le, R.T, preferred_element_type=out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
@@ -353,17 +350,18 @@ def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 1024,
     salt_spec = lambda r: pl.BlockSpec(  # noqa: E731
         (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    partials = pl.pallas_call(
         _omega_kernel,
-        out_shape=jax.ShapeDtypeStruct((R1p, R2p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, R1p, R2p), jnp.float32),
         grid=(n_chunks,),
         in_specs=[col_spec] * 5 + [salt_spec(R1p)] * 2 + [salt_spec(R2p)] * 2,
         out_specs=pl.BlockSpec(
-            (R1p, R2p), lambda c: (_i32(0), _i32(0)),
+            (1, R1p, R2p), lambda c: (c, _i32(0), _i32(0)),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(e2, lf_hi, lf_lo, rf_hi, rf_lo, ls_hi, ls_lo, rs_hi, rs_lo)
+    return jnp.sum(partials, axis=0)
 
 
 # -- merged Ψ+Ω kernel -------------------------------------------------------
@@ -398,22 +396,13 @@ def _merged_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
 
     Lo = _gen_rows(os_hi_ref[:, :], os_lo_ref[:, :],
                    lo_hi_ref[:, :], lo_lo_ref[:, :])         # (R1op, C)
-    acc = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
-
-    @pl.when(c == 0)
-    def _init():
-        om_ref[:, :] = acc
-
-    @pl.when(c != 0)
-    def _accum():
-        om_ref[:, :] += acc
+    om_ref[0] = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
 
 
 def _merged_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref,
                           lo_hi_ref, lo_lo_ref, rs_hi_ref, rs_lo_ref,
                           os_hi_ref, os_lo_ref, slab_ref, om_ref, *,
                           span: int):
-    c = pl.program_id(0)
     C = loc_ref.shape[1]
     R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
                   rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
@@ -427,15 +416,7 @@ def _merged_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref,
 
     Lo = _gen_rows(os_hi_ref[:, :], os_lo_ref[:, :],
                    lo_hi_ref[:, :], lo_lo_ref[:, :])         # (R1op, C)
-    acc = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
-
-    @pl.when(c == 0)
-    def _init():
-        om_ref[:, :] = acc
-
-    @pl.when(c != 0)
-    def _accum():
-        om_ref[:, :] += acc
+    om_ref[0] = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
 
 
 @partial(
@@ -480,19 +461,20 @@ def psi_omega_merged_slabs(
     rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
     os_hi, os_lo = _split_u64_rows(osalts, R1op)
     om_spec = pl.BlockSpec(
-        (R1op, R2p), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+        (1, R1op, R2p), lambda c: (c, _i32(0), _i32(0)),
+        memory_space=pltpu.VMEM,
     )
 
     if lflat is not None:
         R1p = _round8(lsalts.shape[0])
         lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
         ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
-        return pl.pallas_call(
+        slabs, om_partials = pl.pallas_call(
             partial(_merged_kernel, span=span),
             out_shape=(
                 jax.ShapeDtypeStruct((n_chunks, span * R1p, R2p),
                                      jnp.float32),
-                jax.ShapeDtypeStruct((R1op, R2p), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks, R1op, R2p), jnp.float32),
             ),
             grid=(n_chunks,),
             in_specs=[col_spec(1)] * 8 + [salt_spec(R1p)] * 2
@@ -507,12 +489,13 @@ def psi_omega_merged_slabs(
             interpret=interpret,
         )(loc2, se2, lf_hi, lf_lo, rf_hi, rf_lo, lo_hi, lo_lo,
           ls_hi, ls_lo, rs_hi, rs_lo, os_hi, os_lo)
+        return slabs, jnp.sum(om_partials, axis=0)
 
-    return pl.pallas_call(
+    slabs, om_partials = pl.pallas_call(
         partial(_merged_kernel_noleft, span=span),
         out_shape=(
             jax.ShapeDtypeStruct((n_chunks, span, R2p), jnp.float32),
-            jax.ShapeDtypeStruct((R1op, R2p), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks, R1op, R2p), jnp.float32),
         ),
         grid=(n_chunks,),
         in_specs=[col_spec(1)] * 6 + [salt_spec(R2p)] * 2
@@ -526,3 +509,4 @@ def psi_omega_merged_slabs(
         ),
         interpret=interpret,
     )(loc2, se2, rf_hi, rf_lo, lo_hi, lo_lo, rs_hi, rs_lo, os_hi, os_lo)
+    return slabs, jnp.sum(om_partials, axis=0)

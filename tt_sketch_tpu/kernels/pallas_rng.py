@@ -120,11 +120,19 @@ def _erfinv_f32(x):
 
 
 def _normal_from_pair(h, l):
-    """Top-24-mantissa-bit uniform + half ulp → sqrt(2)·erfinv(2u-1)."""
+    """Top-24-mantissa-bit uniform + half ulp → sqrt(2)·erfinv(2u-1).
+
+    The argument is formed as ``x = (2·u24 + 1 − 2^24) · 2^-24`` — the
+    exact value of ``2u−1`` for ``u = (u24+0.5)/2^24`` — computed in
+    int32 first: evaluating ``u24 + 0.5`` in f32 rounds to 2^24
+    (tie-to-even) when ``u24 = 2^24−1``, making u exactly 1.0 and
+    erfinv(±1) = ±inf.  At ~6e-8 per sample that fired ~35 times per
+    FROSTT-lbnl-scale sketch (598M samples) and poisoned Ψ/Ω with
+    inf/NaN; the int32 form is exact for every u24."""
     u24 = ((h & _MASK20) << np.uint32(4)) | (l >> np.uint32(28))
     # u24 < 2^24 so the int32 view is exact; Mosaic has no u32->f32 cast
-    u = (u24.astype(jnp.int32).astype(jnp.float32) + np.float32(0.5)) * _INV_2_24
-    x = np.float32(2.0) * u - np.float32(1.0)
+    v = np.int32(2) * u24.astype(jnp.int32) - np.int32(2 ** 24 - 1)
+    x = v.astype(jnp.float32) * _INV_2_24
     return _SQRT2 * _erfinv_f32(x)
 
 
