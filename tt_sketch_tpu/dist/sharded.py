@@ -36,7 +36,11 @@ from tt_sketch_tpu.engine.sketch_container import SketchContainer
 from tt_sketch_tpu.formats.sparse import SparseTensor
 from tt_sketch_tpu.formats.tensor_sum import TensorSum
 from tt_sketch_tpu.formats.tensor_train import TensorTrain
-from tt_sketch_tpu.kernels.sketch_kernels import _psi_sparse_segment
+from tt_sketch_tpu.kernels.sketch_kernels import (
+    _psi_sparse_segment,
+    _use_pallas_psi,
+    sparse_streaming_sketch_fused,
+)
 from tt_sketch_tpu.rng.hash_rng import inds_to_normal_block
 from tt_sketch_tpu.utils import TTRank, process_tt_rank
 
@@ -75,6 +79,95 @@ def _pad_nnz(indices, entries, multiple: int):
     return indices, entries
 
 
+def _sharded_sparse_fused(
+    tensor: SparseTensor,
+    left_rank: Tuple[int, ...],
+    right_rank: Tuple[int, ...],
+    left_seed: int,
+    right_seed: int,
+    mesh: Mesh,
+    data_axis: str,
+    dtype,
+    plan_threshold: int,
+    plan_chunk: Optional[int],
+) -> SketchedTensorTrain:
+    """Data-parallel sharded sketch through the fused Pallas stack.
+
+    Each device runs the single-chip fused program
+    (``sparse_streaming_sketch_fused``: in-kernel hash-row generation,
+    merged Ψ+Ω, sorted equal-chunk segment reduction) on its own nnz shard,
+    with a per-shard sort/chunk plan built once on the host
+    (``build_shard_psi_plans``); one ``psum`` over ICI combines the partial
+    containers — exact by sketch linearity
+    (reference sketch_container.py:61-69, sketch.py:493-525).
+    """
+    from tt_sketch_tpu.kernels.sparse_plan import build_shard_psi_plans
+
+    d = len(tensor.shape)
+    shape = tensor.shape
+    n_data = mesh.shape[data_axis]
+    idx_shards, ent_shards, shard_plans = build_shard_psi_plans(
+        np.asarray(tensor.indices),
+        np.asarray(tensor.entries, dtype),
+        shape,
+        n_data,
+        threshold=plan_threshold,
+        chunk=plan_chunk,
+    )
+    # Stack per-shard plans into one pytree (identical aux by construction)
+    # that shard_map splits along the leading device axis.
+    plans_stacked = tuple(
+        None
+        if shard_plans[0][mu] is None
+        else jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *(shard_plans[s][mu] for s in range(n_data)),
+        )
+        for mu in range(d)
+    )
+
+    left_drm = SparseGaussianDRM(
+        left_rank, shape=shape, transpose=False, seed=left_seed, dtype=dtype
+    )
+    right_drm = SparseGaussianDRM(
+        right_rank, shape=shape, transpose=True, seed=right_seed, dtype=dtype
+    )
+
+    def shard_fn(indices, entries, plans):
+        local_plan = jax.tree.map(lambda x: x[0], plans)
+        local = SparseTensor(
+            shape, indices[0], entries[0], psi_plan=local_plan
+        )
+        Psi, Om = sparse_streaming_sketch_fused(local, left_drm, right_drm)
+        return jax.lax.psum((tuple(Psi), tuple(Om)), data_axis)
+
+    in_specs = (P(data_axis), P(data_axis), P(data_axis))
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+            # pallas_call does not propagate varying-mesh-axes metadata;
+            # correctness is carried by the explicit trailing psum
+            check_vma=False,
+        )
+    )
+    from tt_sketch_tpu.dist.multihost import make_global
+
+    def globalize(tree):
+        return jax.tree.map(
+            lambda x: make_global(mesh, P(data_axis), x), tree
+        )
+
+    Psi_cores, Omega_mats = fn(
+        globalize(jnp.asarray(idx_shards)),
+        globalize(jnp.asarray(ent_shards)),
+        globalize(plans_stacked),
+    )
+    container = SketchContainer(
+        list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
+    )
+    return SketchedTensorTrain(container, left_drm, right_drm)
+
+
 def sharded_sparse_stream_sketch(
     tensor: SparseTensor,
     left_rank: TTRank,
@@ -85,6 +178,8 @@ def sharded_sparse_stream_sketch(
     left_rank_axis: Optional[str] = None,
     right_rank_axis: Optional[str] = None,
     dtype=None,
+    plan_threshold: int = 512,
+    plan_chunk: Optional[int] = None,
 ) -> SketchedTensorTrain:
     """Streaming sketch of a COO tensor sharded over a device mesh.
 
@@ -92,6 +187,13 @@ def sharded_sparse_stream_sketch(
     ``stream_sketch(tensor, ..., SparseGaussianDRM)`` up to float summation
     order.  ``data_axis`` shards nnz; ``left_rank_axis``/``right_rank_axis``
     shard the DRM rank dimensions (the blocked-sketch decomposition).
+
+    On the TPU fast path (f32/bf16, hash DRMs, no rank axes) each shard
+    runs the FUSED Pallas program — in-kernel row hashing, merged Ψ+Ω,
+    sorted equal-chunk reduction with host-built per-shard plans
+    (``plan_threshold``/``plan_chunk`` forwarded to the planner) — i.e. the
+    same per-chip kernels as the single-chip throughput record; rank-axis
+    sharding falls back to materialized rank-block row generation.
     """
     from tt_sketch_tpu.config import DEFAULT_DTYPE
 
@@ -103,6 +205,17 @@ def sharded_sparse_stream_sketch(
     right_rank = process_tt_rank(right_rank, shape, trim=not right_bigger)
     left_seed = int(seed % (2 ** 32 - 1))
     right_seed = int(_derive_right_seed(seed, d) % (2 ** 32 - 1))
+
+    if (
+        data_axis is not None
+        and left_rank_axis is None
+        and right_rank_axis is None
+        and _use_pallas_psi(jnp.dtype(dtype))
+    ):
+        return _sharded_sparse_fused(
+            tensor, left_rank, right_rank, left_seed, right_seed,
+            mesh, data_axis, dtype, plan_threshold, plan_chunk,
+        )
 
     n_data = _axis_size(mesh, data_axis)
     n_left = _axis_size(mesh, left_rank_axis)

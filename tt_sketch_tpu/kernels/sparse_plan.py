@@ -189,12 +189,18 @@ def build_mode_plan(
     mu: Optional[int] = None,
     shape: Optional[Sequence[int]] = None,
     entries=None,
+    force_span: Optional[int] = None,
 ) -> ModePlan:
     """Build the sort/chunk plan for one mode from host-side indices.
 
     With ``full_indices``/``mu``/``shape``/``entries`` also given, the plan
     carries the sorted streams the fused Pallas Ψ kernel consumes (sorted
-    entries plus the flat prefix/suffix hash inputs — see ModePlan)."""
+    entries plus the flat prefix/suffix hash inputs — see ModePlan).
+
+    ``force_span`` raises the computed span to a common value — the
+    sharded engine needs identical static geometry (n_chunks, span, chunk)
+    across every nnz shard so per-shard plans stack into one pytree under
+    ``shard_map`` (dist/sharded.py)."""
     idx = np.asarray(idx)
     nnz = int(idx.shape[0])
 
@@ -223,6 +229,12 @@ def build_mode_plan(
     last = np.where(tiles[:, -1] >= 0, tiles[:, -1], tiles.max(axis=1))
     span = int((last - base).max()) + 1
     span = ((span + 7) // 8) * 8
+    if force_span is not None:
+        if force_span < span:
+            raise ValueError(
+                f"force_span={force_span} below computed span {span}"
+            )
+        span = int(force_span)
 
     local = tiles - base[:, None]
     local[tiles < 0] = span  # padding sentinel
@@ -299,3 +311,77 @@ def build_psi_plan(
         else None
         for mu, n_mu in enumerate(shape)
     )
+
+
+def build_shard_psi_plans(
+    indices,
+    entries,
+    shape: Sequence[int],
+    n_shards: int,
+    threshold: int = DEFAULT_SORT_THRESHOLD,
+    chunk: Optional[int] = None,
+):
+    """Per-nnz-shard plan tuples with COMMON static geometry, for the
+    sharded fused sketch (dist/sharded.py).
+
+    The nnz stream is zero-padded (index 0…0, entry 0 — exact, every Ψ/Ω
+    term scales with the entry) to a multiple of ``n_shards`` and cut into
+    equal contiguous shards; each shard gets its own sort/chunk plan, but
+    with one chunk size per mode (chosen from shard-0 statistics) and one
+    span per mode (the max over shards), so per-shard plans share aux data
+    and their children stack into a single pytree that ``shard_map`` can
+    split along the leading device axis.
+
+    Returns ``(idx_shards, ent_shards, plans)`` where ``idx_shards`` is
+    ``(n_shards, d, nnz_s)``, ``ent_shards`` is ``(n_shards, nnz_s)`` and
+    ``plans`` is a list over shards of per-mode plan tuples.
+
+    Distributed-setting primitive being rebuilt:
+    /root/reference/tt_sketch/sketch.py:493-525 (blocked_stream_sketch's
+    "distributed setting" docstring) + SparseTensor.split
+    (reference tensor.py:215-234).
+    """
+    indices = np.asarray(indices)
+    entries = np.asarray(entries)
+    d = indices.shape[0]
+    nnz = indices.shape[1]
+    pad = -nnz % n_shards
+    if pad:
+        indices = np.concatenate(
+            [indices, np.zeros((d, pad), indices.dtype)], axis=1
+        )
+        entries = np.concatenate([entries, np.zeros(pad, entries.dtype)])
+    nnz_s = indices.shape[1] // n_shards
+    idx_shards = indices.reshape(d, n_shards, nnz_s).transpose(1, 0, 2)
+    ent_shards = entries.reshape(n_shards, nnz_s)
+
+    plans = [[None] * len(shape) for _ in range(n_shards)]
+    for mu, n_mu in enumerate(shape):
+        if int(n_mu) <= threshold:
+            continue
+        boundary = mu == 0 or mu == len(shape) - 1
+        n_vals0 = len(np.unique(idx_shards[0][mu]))
+        C = (
+            int(chunk) if chunk is not None
+            else _pick_chunk(nnz_s, n_vals0, boundary=boundary)
+        )
+        built = [
+            build_mode_plan(
+                idx_shards[s][mu], int(n_mu), chunk=C,
+                full_indices=idx_shards[s], mu=mu, shape=shape,
+                entries=ent_shards[s],
+            )
+            for s in range(n_shards)
+        ]
+        span = max(p.span for p in built)
+        for s in range(n_shards):
+            plans[s][mu] = (
+                built[s]
+                if built[s].span == span
+                else build_mode_plan(
+                    idx_shards[s][mu], int(n_mu), chunk=C,
+                    full_indices=idx_shards[s], mu=mu, shape=shape,
+                    entries=ent_shards[s], force_span=span,
+                )
+            )
+    return idx_shards, ent_shards, [tuple(p) for p in plans]
