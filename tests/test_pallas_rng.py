@@ -138,3 +138,82 @@ def test_extreme_uniform_is_finite():
         assert np.all(np.isfinite(vals)), (tag, k, vals)
         # the extreme quantiles of a 24-bit grid are ~|z| = 5.36
         assert 5.0 < abs(vals[0, 0]) < 6.0, (tag, vals)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-sign kernel (in-kernel hash + Fisher–Yates; VERDICT r3 #7)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rank,rank_min,rank_max,nnz", [
+    (9, 0, 9, 9),      # default: nnz = rank, full slice
+    (9, 1, 8, 5),      # rank slice + sparse rows
+    (12, 4, 12, 3),    # slice not containing column 0
+    (20, 0, 20, 20),
+])
+def test_sparse_sign_pallas_bit_exact(rank, rank_min, rank_max, nnz):
+    """The Pallas sparse-sign rows equal the numpy oracle EXACTLY (±1
+    values and integer swap positions carry no float truncation)."""
+    from tt_sketch_tpu.kernels.pallas_rng import inds_to_sparse_sign_pallas
+
+    rng = np.random.default_rng(5)
+    n = 700
+    inds = np.stack([rng.integers(0, s, n) for s in SHAPE])
+    got = np.asarray(
+        inds_to_sparse_sign_pallas(
+            jnp.asarray(inds), SHAPE, rank, rank_min, rank_max, nnz, 77,
+            interpret=True,
+        )
+    )
+    want = hr.inds_to_sparse_sign_np(
+        inds, SHAPE, rank, rank_min, rank_max, nnz, 77
+    ).T
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_sparse_sign_drm_pallas_path(monkeypatch):
+    """SparseSignDRM on the forced-TPU interpret path generates the same
+    contraction rows as the u64 parity path, and the sparse streaming
+    sketch through it matches the f64 reference sketch."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
+    from tt_sketch_tpu.engine.sketch import stream_sketch
+    from tt_sketch_tpu.formats import SparseTensor
+
+    rng = np.random.default_rng(8)
+    shape = (8, 9, 10, 7)
+    nnz = 300
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape])
+    ent = rng.standard_normal(nnz)
+    t32 = SparseTensor(shape, idx, ent.astype(np.float32))
+    t64 = SparseTensor(shape, idx, ent)
+
+    drm32 = SparseSignDRM((4, 4, 4), shape, transpose=False, seed=3,
+                          dtype=jnp.float32)
+    assert drm32._use_pallas()
+    drm64 = SparseSignDRM((4, 4, 4), shape, transpose=False, seed=3,
+                          dtype=jnp.float64)
+    for a, b in zip(drm32.sketch_sparse(t32), drm64.sketch_sparse(t64)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b).astype(np.float32)
+        )
+
+    s32 = stream_sketch(
+        t32, (4, 4, 4), (8, 8, 8), seed=5,
+        left_drm_type=SparseSignDRM, right_drm_type=SparseSignDRM,
+        dtype=jnp.float32,
+    )
+    monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+    monkeypatch.delenv("TT_SKETCH_TPU_PALLAS_INTERPRET")
+    s64 = stream_sketch(
+        t64, (4, 4, 4), (8, 8, 8), seed=5,
+        left_drm_type=SparseSignDRM, right_drm_type=SparseSignDRM,
+    )
+    for a, b in zip(
+        s32.sketch_.Psi_cores + s32.sketch_.Omega_mats,
+        s64.sketch_.Psi_cores + s64.sketch_.Omega_mats,
+    ):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), atol=2e-6 * scale
+        )

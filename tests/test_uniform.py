@@ -72,6 +72,35 @@ def test_uniform_hmt_exact_recovery():
     assert rec.error(tt, relative=True) < 1e-9
 
 
+def test_uniform_orthogonal_exact_recovery():
+    from tt_sketch_tpu.engine.uniform import uniform_orthogonal_sketch
+
+    tt = make_uniform_tt(d=6, n=4, rank=3, seed=14)
+    rec = uniform_orthogonal_sketch(tt, left_rank=4, right_rank=8, seed=15)
+    assert rec.error(tt, relative=True) < 1e-9
+    # recovered cores carry the left rank (the Ω solve maps r→l)
+    assert rec.cores[1].shape == (4, 4, 4)
+    with pytest.raises(ValueError):
+        uniform_orthogonal_sketch(tt, left_rank=4, right_rank=4, seed=1)
+
+
+def test_uniform_orthogonal_truncation_vs_generic():
+    """On an exp-decay tensor the uniform OTTS lands at the same
+    truncation level as the generic orthogonal_sketch."""
+    from tt_sketch_tpu.engine.sketch import orthogonal_sketch
+    from tt_sketch_tpu.engine.uniform import uniform_orthogonal_sketch
+
+    st = uniform_exp_decay_tt(10, 6, 5, seed=3)
+    tt = unstack_tt(*st)
+    e_uni = uniform_orthogonal_sketch(
+        tt, left_rank=4, right_rank=8, seed=21
+    ).error(tt, relative=True)
+    e_gen = orthogonal_sketch(tt, left_rank=4, right_rank=8, seed=21).error(
+        tt, relative=True
+    )
+    assert e_uni < 1e-10 and e_gen < 1e-10
+
+
 def test_uniform_dot_norm_vs_generic():
     A = make_uniform_tt(d=5, n=3, rank=3, seed=5)
     B = make_uniform_tt(d=5, n=3, rank=2, seed=6)

@@ -309,7 +309,11 @@ def sharded_sparse_stream_sketch(
     in_spec = (P(None, data_axis), P(data_axis))
     fn = jax.jit(
         jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=in_spec, out_specs=P()
+            shard_fn, mesh=mesh, in_specs=in_spec, out_specs=P(),
+            # the chunked segment-sum scan carries an accumulator whose
+            # varying-axes metadata the checker can't unify with the
+            # replicated init; the trailing psum establishes correctness
+            check_vma=False,
         )
     )
     from tt_sketch_tpu.dist.multihost import make_global
@@ -400,7 +404,8 @@ def sharded_dense_stream_sketch(
 
     fn = jax.jit(
         jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=P(data_axis), out_specs=P()
+            shard_fn, mesh=mesh, in_specs=P(data_axis), out_specs=P(),
+            check_vma=False,
         )
     )
     from tt_sketch_tpu.dist.multihost import make_global
@@ -475,7 +480,10 @@ def sharded_tt_sum_stream_sketch(
 
     in_specs = tuple(P(data_axis) for _ in summands_cores)
     fn = jax.jit(
-        jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P())
+        jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
+            check_vma=False,
+        )
     )
     from tt_sketch_tpu.dist.multihost import make_global
 

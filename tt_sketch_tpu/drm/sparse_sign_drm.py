@@ -31,18 +31,48 @@ class SparseSignDRM(CansketchSparse, CanSlice):
 
     @handle_transpose
     def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
+        use_pallas = self._use_pallas()
         out = []
         for mu in range(len(tensor.shape) - 1):
-            mat = inds_to_sparse_sign(
-                tensor.indices[: mu + 1],
-                tensor.shape[: mu + 1],
-                self.true_rank[mu],
-                self.rank_min[mu],
-                self.rank_max[mu],
-                self.nnz[mu],
-                (jnp.asarray(self.seed, jnp.uint64) + jnp.uint64(mu))
-                % jnp.uint64(2 ** 63),
-                dtype=self.dtype,
-            )
-            out.append(mat.T)
+            seed_mu = (
+                jnp.asarray(self.seed, jnp.uint64) + jnp.uint64(mu)
+            ) % jnp.uint64(2 ** 63)
+            if use_pallas:
+                from tt_sketch_tpu.kernels.pallas_rng import (
+                    inds_to_sparse_sign_pallas,
+                )
+
+                mat_t = inds_to_sparse_sign_pallas(
+                    tensor.indices[: mu + 1],
+                    tensor.shape[: mu + 1],
+                    self.true_rank[mu],
+                    self.rank_min[mu],
+                    self.rank_max[mu],
+                    self.nnz[mu],
+                    seed_mu,
+                ).astype(self.dtype)
+            else:
+                mat_t = inds_to_sparse_sign(
+                    tensor.indices[: mu + 1],
+                    tensor.shape[: mu + 1],
+                    self.true_rank[mu],
+                    self.rank_min[mu],
+                    self.rank_max[mu],
+                    self.nnz[mu],
+                    seed_mu,
+                    dtype=self.dtype,
+                ).T
+            out.append(mat_t)
         return out
+
+    def _use_pallas(self) -> bool:
+        """TPU fast path: the in-kernel hash + Fisher–Yates generator
+        (kernels/pallas_rng.py:inds_to_sparse_sign_pallas) — bit-exact vs
+        the u64 parity path, without emulated-u64 device arithmetic."""
+        if jnp.dtype(self.dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+        ):
+            return False
+        from tt_sketch_tpu.config import is_tpu
+
+        return is_tpu()

@@ -467,6 +467,91 @@ def uniform_hmt_sketch_stacked(X, Z):
     return first_core, interior_cores, last_core
 
 
+@jax.jit
+def uniform_orthogonal_sketch_stacked(X, Y, Z):
+    """Two-sided orthogonal sweep (OTTS) for a uniform TT.
+
+    Rebuilds the reference's orthogonal mode
+    (sketch_dispatch.py:202-275 with method=orthogonal, orth_step at
+    :160-174) as scans: Ω_μ = L_μᵀ R_μ from the left/right DRM chains is
+    batched; the Ψ sweep is sequential — Ψ_μ's left side is the
+    contraction of the already-orthogonalized cores (the OrthogTTDRM
+    trick, reference :177-193), and each interior core is
+    ``QR(Ψ_μ Ω_μ⁺)`` so the recovered TT carries the left ranks.
+    Requires right rank > left rank (the solve maps r → l) and
+    left rank ≤ n (full-column-rank QR)."""
+    from tt_sketch_tpu.utils import right_mul_pinv
+
+    X_first, X_int, X_last = X
+    Y_first, Y_int = Y
+    Z_first, Z_int = Z
+    n = X_first.shape[1]
+
+    L0 = jnp.einsum("ank,anl->kl", X_first, Y_first)
+    left_states = _chain_scan(L0, X_int, Y_int)  # (d-1, r_t, l)
+    Xr_first, Xr_int, _ = _reverse_cores(X_first, X_int, X_last)
+    R0 = jnp.einsum("ank,anl->kl", Xr_first, Z_first)
+    right_states = jnp.flip(_chain_scan(R0, Xr_int, Z_int), 0)  # (d-1,r_t,r)
+
+    Omegas = jnp.einsum("aji,ajk->aik", left_states, right_states)
+
+    Psi0 = jnp.einsum("ank,kl->anl", X_first, right_states[0])  # (1, n, r)
+    M0 = right_mul_pinv(Psi0.reshape(n, -1), Omegas[0])  # (n, l)
+    Q0, _ = jnp.linalg.qr(M0)
+    first_core = Q0.reshape(1, n, -1)
+    state0 = jnp.einsum("ank,anl->kl", X_first, first_core)  # (r_t, l)
+
+    def step(state, inputs):
+        Xc, Rs, Om = inputs
+        Psi = jnp.einsum("ji,jkl,lm->ikm", state, Xc, Rs)  # (l, n, r)
+        M = right_mul_pinv(Psi.reshape(-1, Psi.shape[2]), Om)  # (l·n, l)
+        Q, _ = jnp.linalg.qr(M)
+        core = Q.reshape(Psi.shape[0], Psi.shape[1], -1)
+        tmp = jnp.einsum("ij,ikl->jkl", state, Xc)
+        new_state = jnp.einsum("jkl,jkm->lm", tmp, core)
+        return new_state, core
+
+    state, interior_cores = jax.lax.scan(
+        step, state0, (X_int, right_states[1:], Omegas[1:])
+    )
+    last_core = jnp.einsum("ji,jnk->ink", state, X_last)
+    return first_core, interior_cores, last_core
+
+
+def uniform_orthogonal_sketch(
+    tt: TensorTrain,
+    left_rank: int,
+    right_rank: int,
+    seed: int,
+    dtype=None,
+    drm_stream: str = "jax",
+) -> TensorTrain:
+    """High-level uniform OTTS (reference sketch.py:81-151 semantics on
+    the scan engine).  DRMs as in ``uniform_stream_sketch``."""
+    if right_rank <= left_rank:
+        raise ValueError("orthogonal sketch needs right_rank > left_rank")
+    first, interior, last = stack_tt(tt)
+    dtype = dtype or first.dtype
+    d = interior.shape[0] + 2
+    n = first.shape[1]
+    if left_rank > n:
+        raise ValueError("uniform OTTS needs left_rank <= mode size")
+
+    from tt_sketch_tpu.engine.sketch import _derive_right_seed
+
+    Yf, Yi, _ = uniform_random_tt(
+        d, n, left_rank, seed, norm_goal="norm-preserve", dtype=dtype,
+        stream=drm_stream,
+    )
+    Zf, Zi, _ = uniform_random_tt(
+        d, n, right_rank, _derive_right_seed(seed, d),
+        norm_goal="norm-preserve", dtype=dtype, stream=drm_stream,
+    )
+    X = (first.astype(dtype), interior.astype(dtype), last.astype(dtype))
+    rec = uniform_orthogonal_sketch_stacked(X, (Yf, Yi), (Zf, Zi))
+    return unstack_tt(*rec)
+
+
 def uniform_hmt_sketch(
     tt: TensorTrain, rank: int, seed: int, dtype=None,
     drm_stream: str = "jax",

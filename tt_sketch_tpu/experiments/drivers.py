@@ -145,14 +145,26 @@ def run_dimension_scaling(
     orders = [8, 16] if quick else [2 ** k for k in range(2, 14)]
     dim, rank = (6, 5) if quick else (30, 30)
     recomp = 3 if quick else 10
-    runs = range(1) if quick else range(5)
+    runs = range(1) if quick else range(10)
     exp = _exp(out, "dimension_scaling")
     for order in _maybe_tqdm(orders, "order-scaling", progress):
         stacked = problems.exp_decay_uniform_problem(order, dim, rank)
+        # Deterministic TT-SVD baseline at the round rank and two below
+        # (reference plot_dimension_scaling.py:66-93), one run each.
+        for tsvd_rank in (recomp, recomp - 1, recomp - 2):
+            exp.run(
+                stacked, "TT-SVD", tasks.experiment_uniform_tt_round,
+                rank=tsvd_rank, order=order, dim=dim, run=0,
+                seed=_seed_for(order, 0, 6),
+            )
         # fewer repeats at the largest orders: a d=8192 run is minutes of
         # sequential per-mode sweeps even on-chip, and run variance there
         # is far below the plotted error spread
-        order_runs = range(2) if (not quick and order >= 2048) else runs
+        order_runs = (
+            range(3) if (not quick and order >= 4096)
+            else range(6) if (not quick and order == 2048)
+            else runs
+        )
         for run in order_runs:
             # drm_stream="hash": the record exercises the library's own
             # counter-based DRM generator (engine/uniform.py), not raw
@@ -167,6 +179,12 @@ def run_dimension_scaling(
                 stacked, "HMT", tasks.experiment_uniform_hmt_sketch,
                 rank=rank, recompression_rank=recomp, drm_stream="hash",
                 order=order, dim=dim, run=run, seed=_seed_for(order, run, 5),
+            )
+            exp.run(
+                stacked, "OTTS", tasks.experiment_uniform_orthogonal_sketch,
+                left_rank=min(rank, dim), right_rank=2 * rank,
+                recompression_rank=recomp, drm_stream="hash",
+                order=order, dim=dim, run=run, seed=_seed_for(order, run, 7),
             )
     return exp
 

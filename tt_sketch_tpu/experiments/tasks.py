@@ -160,6 +160,48 @@ def experiment_uniform_stream_sketch(
     return {"error": float(error), "time_taken": time_taken}
 
 
+def experiment_uniform_orthogonal_sketch(
+    stacked,
+    left_rank=None,
+    right_rank=None,
+    recompression_rank=None,
+    seed: int = 0,
+    drm_stream: str = "jax",
+    **kwargs,
+) -> Dict[str, Any]:
+    """OTTS on the uniform scan engine (reference orthogonal mode,
+    plot_dimension_scaling.py:115-126's OTTS rows)."""
+    tt = uni.unstack_tt(*stacked)
+    start = time.perf_counter()
+    rec = uni.uniform_orthogonal_sketch(
+        tt, left_rank, right_rank, seed=seed, drm_stream=drm_stream
+    )
+    out = uni.stack_tt(rec)
+    if recompression_rank is not None:
+        out = uni.uniform_round_fixed(*out, max_rank=recompression_rank)
+    jax.block_until_ready(out)
+    time_taken = time.perf_counter() - start
+    error = uni.uniform_rel_error(out, stacked)
+    return {"error": float(error), "time_taken": time_taken}
+
+
+def experiment_uniform_tt_round(
+    stacked,
+    rank=None,
+    seed: int = 0,
+    **kwargs,
+) -> Dict[str, Any]:
+    """Deterministic TT-SVD-rounding baseline on the uniform engine
+    (reference experiment_tt_round, experiment_base.py:183-193 — the
+    'TT-SVD' rows of the dimension-scaling record)."""
+    start = time.perf_counter()
+    out = uni.uniform_round_fixed(*stacked, max_rank=rank)
+    jax.block_until_ready(out)
+    time_taken = time.perf_counter() - start
+    error = uni.uniform_rel_error(out, stacked)
+    return {"error": float(error), "time_taken": time_taken}
+
+
 def experiment_uniform_hmt_sketch(
     stacked,
     rank=None,

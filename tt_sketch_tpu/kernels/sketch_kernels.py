@@ -145,10 +145,12 @@ def sketch_omega_sparse(
         # a padded elementwise-generated temp — Pallas-generated hash rows
         # (opaque custom calls) or TT-DRM chain products (real matmuls).
         from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+        from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
         from tt_sketch_tpu.drm.tensor_train_drm import TensorTrainDRM
 
         return isinstance(drm, TensorTrainDRM) or (
-            isinstance(drm, SparseGaussianDRM) and drm._use_pallas()
+            isinstance(drm, (SparseGaussianDRM, SparseSignDRM))
+            and drm._use_pallas()
         )
 
     nnz = tensor.entries.shape[0]
