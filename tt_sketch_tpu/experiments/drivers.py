@@ -484,24 +484,43 @@ def run_cookie(out: str = "results", quick: bool = False, progress=True):
     sketch_ranks = [8] if quick else list(range(10, 101, 5))
     pairwise_ranks = [8] if quick else list(range(10, 51, 5))
     maxiter = 8 if quick else 50
-    runs = range(1) if quick else range(5)
+    runs = range(1) if quick else range(10)
+    final_round_ranks = (4, 8) if quick else tuple(range(10, 101, 5))
     exp = _exp(out, "cookie")
 
     def gmres_task(_input, rounding_method=None, max_rank=None, seed=0, **kw):
+        import json
         import time
+
+        from tt_sketch_tpu.solvers.tt_gmres import round_tt_sum
 
         start = time.perf_counter()
         x, history = tt_sum_gmres(
             A, b, max_rank=max_rank, precond=precond, maxiter=maxiter,
-            rounding_method=rounding_method, seed=seed,
+            rounding_method=rounding_method, seed=seed, save_basis=True,
         )
         time_taken = time.perf_counter() - start
-        return {
+        row = {
             "error": float(history["residual_norm"][-1]),
             "time_taken": time_taken,
             "iterations": len(history["residual_norm"]),
             "final_rank": max(x.rank),
         }
+        # Final-rounding rank sweep (reference do_cookie.py:66-85): round
+        # the UN-rounded solution sum at each target rank with each final
+        # method and record the true residual of the rounded solution.
+        solution = history["solution_sum"]
+        row["final_round_ranks"] = json.dumps(list(final_round_ranks))
+        for fm in ("sketch", "pairwise"):
+            errs, times = [], []
+            for fr in final_round_ranks:
+                t0 = time.perf_counter()
+                xr = round_tt_sum(solution, fr, method=fm, seed=seed + fr)
+                times.append(round(time.perf_counter() - t0, 4))
+                errs.append(float(A(xr).error(b, relative=True)))
+            row[f"final_true_error_{fm}"] = json.dumps(errs)
+            row[f"final_round_time_{fm}"] = json.dumps(times)
+        return row
 
     # Run-major like the reference (do_cookie.py:97-125): each completed
     # run covers the full (method, rank) grid, so a partial sweep is usable.

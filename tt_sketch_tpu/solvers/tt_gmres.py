@@ -518,4 +518,8 @@ def tt_sum_gmres(
         history["H_matrix"] = H_matrix
         history["nu_list"] = nu_list
         history["y"] = y
+        # The UN-rounded solution sum: the cookie record's final-rounding
+        # rank sweep (reference do_cookie.py:66-85) re-rounds this at each
+        # target rank instead of re-running GMRES.
+        history["solution_sum"] = result
     return result_rounded, history
