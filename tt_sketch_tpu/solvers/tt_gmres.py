@@ -216,6 +216,10 @@ def round_tt_sum(
     """
     if isinstance(tt_sum, TensorTrain):
         tt_sum = TensorSum([tt_sum])
+    # Sketch-mode DRMs follow the summands' dtype: defaulting to f64 here
+    # silently promoted every downstream GMRES iterate of an f32 problem
+    # back to (TPU-emulated) f64.
+    dtype = tt_sum.tensors[0].cores[0].dtype
     if method == "exact":
         tt = tt_sum.tensors[0]
         for t in tt_sum.tensors[1:]:
@@ -234,13 +238,15 @@ def round_tt_sum(
             left_rank=left_rank,
             right_rank=right_rank,
             seed=seed,
+            dtype=dtype,
             compile=True,
         ).to_tt()
     if method == "orth_sketch":
         left_rank = process_tt_rank(max_rank, tt_sum.shape, trim=True)
         right_rank = tuple(ceil(r * oversample_factor) for r in left_rank)
         return orthogonal_sketch(
-            tt_sum, left_rank=left_rank, right_rank=right_rank, seed=seed
+            tt_sum, left_rank=left_rank, right_rank=right_rank, seed=seed,
+            dtype=dtype,
         )
     if method is None:
         return tt_sum  # type: ignore[return-value]
@@ -462,7 +468,8 @@ def tt_sum_gmres(
 
         breakdown = not (H_matrix[j + 1, j] > _BREAKDOWN_TOL * beta)
         if not breakdown:
-            nu_list.append(w_rounded / H_matrix[j + 1, j])
+            # float(): a np.float64 coefficient would promote f32 TTs
+            nu_list.append(w_rounded / float(H_matrix[j + 1, j]))
             n_nu = j + 2
 
         H_red = H_matrix[: j + 2, : j + 1]
@@ -501,7 +508,7 @@ def tt_sum_gmres(
     y = y[:n_y]
     nu_list = nu_list[:n_y]
     current_time = perf_counter()
-    result = x0 + TensorSum(nu_list) * y
+    result = x0 + TensorSum(nu_list) * [float(v) for v in y]
     result_rounded, eff_final = _round(
         result,
         eps=None,
