@@ -43,6 +43,11 @@ def main() -> int:
     # Plan every mode > 16: with the fused psi+omega kernels the whole
     # sketch then runs without materialized DRM row lists.
     p.add_argument("--threshold", type=int, default=16)
+    p.add_argument(
+        "--drm", choices=["gaussian", "sign"], default="gaussian",
+        help="hash-family DRM pair: lazy Gaussian (fused kernels) or "
+             "sparse-sign (Pallas row generation + grouped-plan psi)",
+    )
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -54,7 +59,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from tt_sketch_tpu.data.frostt import load_frostt
-    from tt_sketch_tpu.drm import SparseGaussianDRM
+    from tt_sketch_tpu.drm import SparseGaussianDRM, SparseSignDRM
     from tt_sketch_tpu.engine.sketch import stream_sketch
     from tt_sketch_tpu.formats import SparseTensor
 
@@ -89,11 +94,12 @@ def main() -> int:
     print(f"{args.name}: shape={tensor.shape} nnz={nnz}", flush=True)
 
     r = args.rank
+    drm_type = SparseGaussianDRM if args.drm == "gaussian" else SparseSignDRM
     kwargs = dict(
         left_rank=r,
         right_rank=2 * r,
-        left_drm_type=SparseGaussianDRM,
-        right_drm_type=SparseGaussianDRM,
+        left_drm_type=drm_type,
+        right_drm_type=drm_type,
         dtype=dtype,
         compile=True,
     )
@@ -133,6 +139,7 @@ def main() -> int:
     hashes = nnz * (r + 2 * r) * (d - 1)
     result = {
         "metric": "sparse_stta_nnz_per_s",
+        "drm": args.drm,
         "name": args.name,
         "nnz": nnz,
         "rank": r,
