@@ -193,6 +193,32 @@ def _use_pallas_psi(dtype) -> bool:
     )
 
 
+def _combine_slabs(flat, plan, n_mu):
+    """Slab-slot combine into the (n_mu, r1·r2) Ψ matrix.
+
+    With a gather plan (``plan.gather_slots``): K row-gathers + adds —
+    scatter-free (the v5e ablation in results/frostt_tpu_throughput.md
+    measured the scatter-add at 43 ms of lbnl-mode-4's 47 ms; the Pallas
+    kernel itself took 3.7 ms).  An explicit zero row is appended so the
+    ``n_chunks·span`` sentinel reads exact zeros whether or not ``flat``
+    carries padded (all-zero) slab rows.  Without one: the scatter-add.
+    """
+    if getattr(plan, "gather_slots", None) is not None:
+        flat_pad = jnp.concatenate(
+            [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)]
+        )
+        gs = plan.gather_slots
+        psi = flat_pad[gs[:, 0]]
+        for k in range(1, gs.shape[1]):
+            psi = psi + flat_pad[gs[:, k]]
+        return psi
+    return (
+        jnp.zeros((n_mu, flat.shape[1]), flat.dtype)
+        .at[plan.slot_rows]
+        .add(flat, mode="drop")
+    )
+
+
 def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
     """Ψ segment reduction over a sort/chunk plan (kernels/sparse_plan.py).
 
@@ -294,11 +320,16 @@ def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
             constant_values=n_mu,
         )
 
-    psi = (
-        jnp.zeros((n_mu, r1 * r2), dtype=dtype)
-        .at[slot_rows]
-        .add(slabs, mode="drop")
-    )
+    if getattr(plan, "gather_slots", None) is not None:
+        # padded slab rows (if any) are exact zeros, so the gather plan's
+        # zero-slot sentinel stays valid after the scan path's padding
+        psi = _combine_slabs(slabs, plan, n_mu)
+    else:
+        psi = (
+            jnp.zeros((n_mu, r1 * r2), dtype=dtype)
+            .at[slot_rows]
+            .add(slabs, mode="drop")
+        )
     return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2)
 
 
@@ -449,11 +480,7 @@ def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
         flat = slabs[:, :, :r2].reshape(nc * S, r2)
     else:
         flat = slabs[:, :, :r1].reshape(nc * S, r1)
-    psi = (
-        jnp.zeros((n_mu, r1 * r2), jnp.float32)
-        .at[plan.slot_rows]
-        .add(flat, mode="drop")
-    )
+    psi = _combine_slabs(flat, plan, n_mu)
     return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
 
 
@@ -594,11 +621,7 @@ def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
         )
     else:
         flat = slabs[:, :, :r2].reshape(nc * S, r2)
-    psi = (
-        jnp.zeros((n_mu, r1 * r2), jnp.float32)
-        .at[plan.slot_rows]
-        .add(flat, mode="drop")
-    )
+    psi = _combine_slabs(flat, plan, n_mu)
     psi = psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
     return psi, om[:r1_om, :r2].astype(dtype)
 

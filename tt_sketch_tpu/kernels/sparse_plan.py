@@ -46,6 +46,12 @@ import numpy as np
 #: get a sort/chunk plan.
 DEFAULT_SORT_THRESHOLD = 512
 
+#: Per-row gather multiplicity cap for the scatter-free combine: a value
+#: whose occurrences span more chunks than this (hot-value skew) forces
+#: the mode back onto the scatter-add combine.  The gather work is
+#: ``n_mu · K`` rows, so the cap also bounds combine traffic.
+_GATHER_K_CAP = 16
+
 
 @jax.tree_util.register_pytree_node_class
 class ModePlan:
@@ -66,6 +72,17 @@ class ModePlan:
     directly in sorted order instead of gathering materialized rows
     through ``perm`` (a (r, nnz) minor-axis gather costs ~40 ms at FROSTT
     scale on a v5e — more than the whole sketch should take):
+
+    - ``gather_slots`` ((n_mu, gather_k) i32) or None: the scatter-free
+      combine — output row j sums the slab slots listed in its row
+      (sentinel ``n_chunks·span`` = an appended zero slot).  A value's
+      occurrences are contiguous in the sorted stream, so its slots span
+      a contiguous chunk range of length ≤ ``gather_k``; the combine
+      becomes ``gather_k`` row-gathers + adds instead of an
+      ``n_chunks·span``-row scatter-add (measured 43 ms of lbnl-mode-4's
+      47 ms on a v5e — scatter runs ~80× off memory bandwidth on TPU,
+      gathers don't).  None when the multiplicity bound exceeds
+      ``_GATHER_K_CAP`` (hot-value skew) — the scatter path remains.
 
     - ``sorted_entries`` (nnz,): ``entries[perm]`` (kept consistent by
       ``SparseTensor.astype``/``__mul__``).
@@ -95,6 +112,7 @@ class ModePlan:
         flat_left=None,
         flat_right=None,
         flat_left_om=None,
+        gather_slots=None,
     ) -> None:
         self.perm = perm
         self.local_idx = local_idx
@@ -106,12 +124,13 @@ class ModePlan:
         self.flat_left = flat_left
         self.flat_right = flat_right
         self.flat_left_om = flat_left_om
+        self.gather_slots = gather_slots
 
     def tree_flatten(self):
         children = (
             self.perm, self.local_idx, self.slot_rows,
             self.sorted_entries, self.flat_left, self.flat_right,
-            self.flat_left_om,
+            self.flat_left_om, self.gather_slots,
         )
         aux = (self.n_chunks, self.span, self.chunk)
         return children, aux
@@ -122,6 +141,7 @@ class ModePlan:
             children[0], children[1], children[2], *aux,
             sorted_entries=children[3], flat_left=children[4],
             flat_right=children[5], flat_left_om=children[6],
+            gather_slots=children[7],
         )
 
     def transposed(self) -> "ModePlan":
@@ -135,6 +155,7 @@ class ModePlan:
             sorted_entries=self.sorted_entries,
             flat_left=self.flat_right, flat_right=self.flat_left,
             flat_left_om=None,
+            gather_slots=self.gather_slots,
         )
 
     def map_entries(self, fn) -> "ModePlan":
@@ -149,13 +170,18 @@ class ModePlan:
             sorted_entries=fn(self.sorted_entries),
             flat_left=self.flat_left, flat_right=self.flat_right,
             flat_left_om=self.flat_left_om,
+            gather_slots=self.gather_slots,
         )
 
     def __repr__(self) -> str:
         fused = "+fused" if self.sorted_entries is not None else ""
+        gk = (
+            f"+gatherK{self.gather_slots.shape[1]}"
+            if self.gather_slots is not None else ""
+        )
         return (
             f"<ModePlan chunks={self.n_chunks} span={self.span} "
-            f"chunk={self.chunk}{fused}>"
+            f"chunk={self.chunk}{fused}{gk}>"
         )
 
 
@@ -190,6 +216,7 @@ def build_mode_plan(
     shape: Optional[Sequence[int]] = None,
     entries=None,
     force_span: Optional[int] = None,
+    force_gather_k: Optional[int] = None,
 ) -> ModePlan:
     """Build the sort/chunk plan for one mode from host-side indices.
 
@@ -252,6 +279,29 @@ def build_mode_plan(
         np.minimum(slot_ranks, uniq.shape[0])
     ].astype(np.int32)
 
+    # Scatter-free combine plan: a value's occurrences are contiguous in
+    # the sorted stream, so its slab slots live in the contiguous chunk
+    # range [start//C, (end-1)//C]; output row j gathers those ≤K slots
+    # (zero-slot sentinel pads).  See ModePlan.gather_slots.
+    n_vals = uniq.shape[0]
+    starts = np.searchsorted(sidx, uniq, side="left")
+    ends = np.searchsorted(sidx, uniq, side="right")
+    c_first = starts // C
+    c_last = (ends - 1) // C
+    K = int((c_last - c_first + 1).max()) if n_vals else 1
+    gk = force_gather_k if force_gather_k is not None else K
+    gather_slots = None
+    if K <= gk <= _GATHER_K_CAP:
+        ZERO_SLOT = n_chunks * span
+        gather_slots = np.full((n_mu, gk), ZERO_SLOT, np.int32)
+        vr = np.arange(n_vals, dtype=np.int64)
+        for k in range(K):
+            ck = c_first + k
+            valid = ck <= c_last
+            ckc = np.minimum(ck, n_chunks - 1)
+            slot = ckc * span + (vr - base[ckc])
+            gather_slots[uniq[valid], k] = slot[valid]
+
     sorted_entries = flat_left = flat_right = flat_left_om = None
     if full_indices is not None and entries is not None:
         from tt_sketch_tpu.rng.hash_rng import _flat_index_np
@@ -287,6 +337,7 @@ def build_mode_plan(
         perm, local_idx, slot_rows, n_chunks, span, C,
         sorted_entries=sorted_entries, flat_left=flat_left,
         flat_right=flat_right, flat_left_om=flat_left_om,
+        gather_slots=gather_slots,
     )
 
 
@@ -374,14 +425,32 @@ def build_shard_psi_plans(
             for s in range(n_shards)
         ]
         span = max(p.span for p in built)
+        # Common gather width too (0 disables the gather combine on every
+        # shard when any shard tripped the multiplicity cap).
+        if any(p.gather_slots is None for p in built):
+            gk = 0
+        else:
+            gk = max(p.gather_slots.shape[1] for p in built)
+
+        def _uniform(p):
+            if p.span != span:
+                return False
+            if gk == 0:
+                return p.gather_slots is None
+            return (
+                p.gather_slots is not None
+                and p.gather_slots.shape[1] == gk
+            )
+
         for s in range(n_shards):
             plans[s][mu] = (
                 built[s]
-                if built[s].span == span
+                if _uniform(built[s])
                 else build_mode_plan(
                     idx_shards[s][mu], int(n_mu), chunk=C,
                     full_indices=idx_shards[s], mu=mu, shape=shape,
                     entries=ent_shards[s], force_span=span,
+                    force_gather_k=gk,
                 )
             )
     return idx_shards, ent_shards, [tuple(p) for p in plans]
