@@ -389,3 +389,58 @@ def test_merged_psi_omega_sketch(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5 * scale
         )
+
+
+def test_hash_sorted_psi_sign_and_mixed(monkeypatch):
+    """Planned sparse tensors with SparseSignDRM (and mixed sign/Gaussian)
+    pairs take the sorted-order row-generation path — no perm gathers —
+    and match the f64 reference sketch."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
+    from tt_sketch_tpu.kernels import sketch_kernels as K
+
+    rng = np.random.default_rng(21)
+    shape = (11, 9, 30, 25)
+    nnz = 1200
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz)
+    t32 = SparseTensor(shape, idx, ent.astype(np.float32)).with_psi_plan(
+        indices=idx, entries=ent.astype(np.float32), threshold=8, chunk=128
+    )
+    t64 = SparseTensor(shape, idx, ent)
+
+    for lt, rt in [
+        (SparseSignDRM, SparseSignDRM),
+        (SparseSignDRM, SparseGaussianDRM),
+        (SparseGaussianDRM, SparseSignDRM),
+    ]:
+        ld = lt((4, 4, 4), shape, transpose=False, seed=3, dtype=jnp.float32)
+        rd = rt((8, 8, 8), shape, transpose=True, seed=4, dtype=jnp.float32)
+        assert all(
+            K._can_hash_sorted_psi(p, t32, mu, ld, rd)
+            or K._can_fuse_psi(p, t32, mu, ld, rd)
+            for mu, p in enumerate(t32.psi_plan)
+        )
+        s32 = stream_sketch(
+            t32, (4, 4, 4), (8, 8, 8), seed=5,
+            left_drm_type=lt, right_drm_type=rt, dtype=jnp.float32,
+        )
+        monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+        monkeypatch.delenv("TT_SKETCH_TPU_PALLAS_INTERPRET")
+        s64 = stream_sketch(
+            t64, (4, 4, 4), (8, 8, 8), seed=5,
+            left_drm_type=lt, right_drm_type=rt,
+        )
+        monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+        monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+        for a, b in zip(
+            s32.sketch_.Psi_cores + s32.sketch_.Omega_mats,
+            s64.sketch_.Psi_cores + s64.sketch_.Omega_mats,
+        ):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b),
+                atol=5e-6 * scale,
+                err_msg=f"{lt.__name__} x {rt.__name__}",
+            )

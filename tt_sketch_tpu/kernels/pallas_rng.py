@@ -381,11 +381,30 @@ def inds_to_sparse_sign_pallas(
     r3 weak #4).  Bit-exact vs ``inds_to_sparse_sign_np`` (±1 values and
     integer swap positions carry no float truncation, unlike the
     24-bit-uniform Gaussian path)."""
+    return sparse_sign_pallas_from_pairs(
+        flat_u32_pairs(indices, shape), rank, rank_min, rank_max,
+        nnz_per_row, seed, tile_n=tile_n, interpret=interpret,
+    )
+
+
+def sparse_sign_pallas_from_pairs(
+    flat_pair,
+    rank: int,
+    rank_min: int,
+    rank_max: int,
+    nnz_per_row: int,
+    seed,
+    tile_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """``inds_to_sparse_sign_pallas`` from a precomputed (hi, lo) u32 flat
+    pair — the layout the sort/chunk plans store, so sorted-order rows
+    generate with no index flattening and no perm gathers."""
     if interpret is None:
         from tt_sketch_tpu.config import pallas_interpret
 
         interpret = pallas_interpret()
-    flat_hi, flat_lo = flat_u32_pairs(indices, shape)
+    flat_hi, flat_lo = flat_pair
     R_full = _round_up(max(int(rank), 1), 8)
     if tile_n is None:
         tile_n = max(2048, min(16384, _round_up(2 ** 17 // R_full, 1024)))

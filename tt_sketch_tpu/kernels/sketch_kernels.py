@@ -484,6 +484,98 @@ def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
     return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
 
 
+def _is_hash_pallas_drm(drm) -> bool:
+    from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
+    from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
+
+    return (
+        isinstance(drm, (SparseGaussianDRM, SparseSignDRM))
+        and drm._use_pallas()
+    )
+
+
+def _can_hash_sorted_psi(mp, tensor, mu, left_drm, right_drm) -> bool:
+    """Sorted-order row generation applies when the plan carries the flat
+    hash pairs and every consumed side is a hash-family DRM on the Pallas
+    path — incl. SparseSignDRM and MIXED sign/Gaussian pairs (the fully
+    fused in-kernel path is Gaussian-only)."""
+    if mp.sorted_entries is None or not _use_pallas_psi(tensor.entries.dtype):
+        return False
+    d = len(tensor.shape)
+    if mu > 0 and not _is_hash_pallas_drm(left_drm):
+        return False
+    if mu < d - 1 and not _is_hash_pallas_drm(right_drm):
+        return False
+    return True
+
+
+def _hash_rows_from_pairs(drm, k: int, flat_pair, dtype):
+    """(rank, N) DRM rows for generator step ``k`` from precomputed flat
+    u32 pairs — the Pallas generators, no index flatten, no gathers."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
+    from tt_sketch_tpu.kernels.pallas_rng import (
+        lazy_gaussian_pallas,
+        sparse_sign_pallas_from_pairs,
+    )
+
+    seed = (
+        jnp.asarray(drm.seed, jnp.uint64) + jnp.uint64(k)
+    ) % jnp.uint64(2 ** 63)
+    if isinstance(drm, SparseSignDRM):
+        rows = sparse_sign_pallas_from_pairs(
+            flat_pair, drm.true_rank[k], drm.rank_min[k], drm.rank_max[k],
+            drm.nnz[k], seed, interpret=pallas_interpret(),
+        )
+    else:
+        rows = lazy_gaussian_pallas(
+            flat_pair, drm.rank_min[k], drm.rank_max[k], seed,
+            interpret=pallas_interpret(),
+        )
+    return rows.astype(dtype)
+
+
+def _psi_sparse_hash_sorted(tensor, mu, plan, n_mu, left_drm, right_drm):
+    """Ψ_μ via the slab kernel over rows GENERATED at mode-sorted order
+    from the plan's flat pairs (sign or Gaussian hash families).
+
+    The grouped fallback gathers materialized rows through ``perm`` — a
+    (r, nnz) minor-axis gather measured at ~40 ms per side at FROSTT
+    scale (the sparse-sign sketch clocked 598 ms / 5.5 M nnz/s on it);
+    regenerating the rows in sorted order costs one kernel pass at the
+    ~33 G samples/s hash rate instead."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import psi_chunk_slabs
+
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
+    nnz = plan.sorted_entries.shape[0]
+    padn = nc * C - nnz
+    r1 = r2 = 1
+    sl_p = sr_p = None
+    if mu > 0:
+        lrows = _hash_rows_from_pairs(left_drm, mu - 1, plan.flat_left, dtype)
+        r1 = left_drm.rank[mu - 1]
+        sl_p = jnp.pad(lrows, ((0, 0), (0, padn)))
+    if mu < d - 1:
+        rrows = _hash_rows_from_pairs(
+            right_drm, d - 2 - mu, plan.flat_right, dtype
+        )
+        r2 = right_drm.rank[d - 2 - mu]
+        sr_p = jnp.pad(rrows, ((0, 0), (0, padn)))
+    if sl_p is None:
+        sl_p = jnp.ones((1, nc * C), dtype)
+    se_p = jnp.pad(plan.sorted_entries, (0, padn)).astype(dtype)
+    slabs = psi_chunk_slabs(
+        plan.local_idx, se_p, sl_p, sr_p, n_chunks=nc, span=S, chunk=C,
+        interpret=pallas_interpret(),
+    )
+    flat = slabs.reshape(nc, S, r1, r2).reshape(nc * S, r1 * r2)
+    psi = _combine_slabs(flat, plan, n_mu)
+    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
+
+
 def sketch_psi_sparse(
     left_sketch, right_sketch, *, tensor, mu, psi_shape,
     left_drm=None, right_drm=None, **kwargs
@@ -493,6 +585,10 @@ def sketch_psi_sparse(
     if mp is not None:
         if _can_fuse_psi(mp, tensor, mu, left_drm, right_drm):
             return _psi_sparse_fused(
+                tensor, mu, mp, psi_shape[1], left_drm, right_drm
+            )
+        if _can_hash_sorted_psi(mp, tensor, mu, left_drm, right_drm):
+            return _psi_sparse_hash_sorted(
                 tensor, mu, mp, psi_shape[1], left_drm, right_drm
             )
         return _psi_sparse_grouped(
