@@ -68,6 +68,64 @@ def frostt() -> None:
         )
 
 
+def cookie_tpu() -> None:
+    rows = list(csv.DictReader(open(RES / "cookie_tpu.csv")))
+    g = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        g[(r["rounding_method"], float(r["max_rank"]))]["t"].append(
+            float(r["time_taken"])
+        )
+        g[(r["rounding_method"], float(r["max_rank"]))]["e"].append(
+            float(r["error"])
+        )
+    ranks = sorted({k[1] for k in g})
+    print("| max_rank | sketch med wall (n) | pairwise med wall (n) | "
+          "ratio | sketch med resid | pairwise med resid |")
+    print("|---|---|---|---|---|---|")
+    for rk in ranks:
+        st = g.get(("sketch", rk))
+        pt = g.get(("pairwise", rk))
+        sw = _med(st["t"]) if st else None
+        pw = _med(pt["t"]) if pt else None
+        print(
+            f"| {int(rk)} | "
+            + (f"{sw:.1f} s ({len(st['t'])}) | " if st else "- | ")
+            + (f"{pw:.1f} s ({len(pt['t'])}) | " if pt else "- | ")
+            + (f"{pw / sw:.1f}x | " if st and pt else "- | ")
+            + (f"{_med(st['e']):.1e} | " if st else "- | ")
+            + (f"{_med(pt['e']):.1e} |" if pt else "- |")
+        )
+
+
+def final_round() -> None:
+    """Final-rounding rank sweep (reference do_cookie.py:66-85): median
+    true residual of the rounded solution vs final rank, from the
+    highest-max_rank solves of each method."""
+    import json as _json
+
+    rows = [
+        r for r in csv.DictReader(open(RES / "cookie.csv"))
+        if r.get("final_round_ranks")
+    ]
+    for solve_m in ("sketch", "pairwise"):
+        sel = [r for r in rows if r["rounding_method"] == solve_m]
+        if not sel:
+            continue
+        top = max(float(r["max_rank"]) for r in sel)
+        sel = [r for r in sel if float(r["max_rank"]) == top]
+        ranks = _json.loads(sel[0]["final_round_ranks"])
+        print(f"\nsolve={solve_m} max_rank={int(top)} (n={len(sel)} runs)")
+        print("| final rank | true resid (final=sketch) | "
+              "true resid (final=pairwise) |")
+        print("|---|---|---|")
+        for i, fr in enumerate(ranks):
+            es = _med([_json.loads(r["final_true_error_sketch"])[i]
+                       for r in sel])
+            ep = _med([_json.loads(r["final_true_error_pairwise"])[i]
+                       for r in sel])
+            print(f"| {fr} | {es:.2e} | {ep:.2e} |")
+
+
 def scaling() -> None:
     for r in csv.DictReader(open(RES / "scaling.csv")):
         print(r)
@@ -97,4 +155,5 @@ def dimscale() -> None:
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "cookie"
     {"cookie": cookie, "frostt": frostt, "scaling": scaling,
-     "dimscale": dimscale}[which]()
+     "dimscale": dimscale, "cookie_tpu": cookie_tpu,
+     "final_round": final_round}[which]()
