@@ -65,20 +65,39 @@ def main() -> int:
     ]
     grid.sort(key=lambda c: cost(c[0], c[1]))
 
+    final_round_ranks = tuple(range(10, 101, 5))
+
     def gmres_task(_input, rounding_method=None, max_rank=None, seed=0, **kw):
+        import json
         import time
+
+        from tt_sketch_tpu.solvers.tt_gmres import round_tt_sum
 
         start = time.perf_counter()
         x, history = tt_sum_gmres(
             A, b, max_rank=max_rank, precond=precond, maxiter=maxiter,
-            rounding_method=rounding_method, seed=seed,
+            rounding_method=rounding_method, seed=seed, save_basis=True,
         )
-        return {
+        row = {
             "error": float(history["residual_norm"][-1]),
             "time_taken": time.perf_counter() - start,
             "iterations": len(history["residual_norm"]),
             "final_rank": max(x.rank),
         }
+        # Final-rounding rank sweep, identical to the stock driver
+        # (drivers.run_cookie / reference do_cookie.py:66-85).
+        solution = history["solution_sum"]
+        row["final_round_ranks"] = json.dumps(list(final_round_ranks))
+        for fm in ("sketch", "pairwise"):
+            errs, times = [], []
+            for fr in final_round_ranks:
+                t0 = time.perf_counter()
+                xr = round_tt_sum(solution, fr, method=fm, seed=seed + fr)
+                times.append(round(time.perf_counter() - t0, 4))
+                errs.append(float(A(xr).error(b, relative=True)))
+            row[f"final_true_error_{fm}"] = json.dumps(errs)
+            row[f"final_round_time_{fm}"] = json.dumps(times)
+        return row
 
     for rounding, max_rank, run in grid:
         print(f"[cookie] {rounding} rank={max_rank} run={run} "
