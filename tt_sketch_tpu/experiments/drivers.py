@@ -270,6 +270,19 @@ def run_right_oversampling(
             left_rank=left_rank, right_rank=right_rank,
             run=run, seed=_seed_for(right_rank, run, 9),
         )
+    # OTTS rows + TT-SVD baselines, matching the reference sweep
+    # (plot_right_oversampling.py:50-74: OTTS over the same grid, tt_svd
+    # at the left rank and one below).  Run-major so a wall-clock-bounded
+    # partial sweep covers the whole oversampling axis.
+    grid_rm = [(rr, run) for run in runs for rr in right_ranks]
+    for right_rank, run in _maybe_tqdm(grid_rm, "OTTS", progress):
+        exp.run(
+            tensor, "OTTS", tasks.experiment_orthogonal_sketch,
+            left_rank=left_rank, right_rank=right_rank,
+            run=run, seed=_seed_for(right_rank, run, 13),
+        )
+    exp.run(tensor, "TT-SVD", tasks.experiment_tt_svd, rank=left_rank)
+    exp.run(tensor, "TT-SVD", tasks.experiment_tt_svd, rank=left_rank - 1)
     return exp
 
 
