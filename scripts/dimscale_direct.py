@@ -29,8 +29,10 @@ def main() -> int:
 
     dim, tt_rank, rank = 30, 30, 10
     exp = _exp("results", "dimension_scaling")
-    grid = [(o, r) for o in (64, 256, 1024, 4096, 8192)
-            for r in range(5 if o < 4096 else 3)]
+    # run-major so a wall-clock-bounded resume deepens every order evenly
+    # (VERDICT r4 #4: >=10 runs at d >= 4096 for the direct protocol)
+    grid = [(o, r) for r in range(10)
+            for o in (64, 256, 1024, 4096, 8192)]
     for order, run in grid:
         stacked = problems.exp_decay_uniform_problem(order, dim, tt_rank)
         exp.run(

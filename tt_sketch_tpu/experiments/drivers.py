@@ -201,7 +201,7 @@ def run_timings(out: str = "results", quick: bool = False, progress=True):
     else:
         dim, tt_rank = 100, 150
         ranks = list(range(5, 146, 10))
-        runs = range(5)
+        runs = range(20)
     tensor = problems.exp_decay_tt_problem(
         n_dims=5, dim=dim, tt_rank=tt_rank, seed=179, min_svdval=-20.0
     )
@@ -231,6 +231,14 @@ def run_timings(out: str = "results", quick: bool = False, progress=True):
             tensor, "OTTS-x2", tasks.experiment_orthogonal_sketch,
             left_rank=rank, right_rank=2 * rank, error_func=err,
             run=run, seed=_seed_for(rank, run, 20),
+        )
+    # Fifth reference variant (plot_timings.py:28-36): OTTS with +3
+    # right oversampling.
+    for rank, run in _maybe_tqdm(grid, "OTTS-plus3", progress):
+        exp.run(
+            tensor, "OTTS-plus3", tasks.experiment_orthogonal_sketch,
+            left_rank=rank, right_rank=rank + 3, error_func=err,
+            run=run, seed=_seed_for(rank, run, 21),
         )
     return exp
 
@@ -292,9 +300,20 @@ def run_recompression(out: str = "results", quick: bool = False, progress=True):
     tensor = problems.sqrt_problem()
     target = 3 if quick else 10
     ranks = [4, 8] if quick else list(range(10, 41, 2))
-    runs = range(2) if quick else range(20)
+    runs = range(2) if quick else range(30)
     exp = _exp(out, "recompression")
     grid = list(itertools.product(ranks, runs))
+    # Second STTA variant (reference plot_recompression.py:42-79 sweeps
+    # both a +3 and an x2 right-oversampling STTA next to HMT).  Runs
+    # first so a wall-clock-bounded resume fills the missing variant
+    # before deepening the established ones.
+    for rank, run in _maybe_tqdm(grid, "STTA-plus3-recomp", progress):
+        exp.run(
+            tensor, "STTA-plus3", tasks.experiment_stream_sketch,
+            left_rank=rank, right_rank=rank + 3,
+            recompression_rank=target,
+            run=run, seed=_seed_for(rank, run, 22),
+        )
     for rank, run in _maybe_tqdm(grid, "STTA-recomp", progress):
         exp.run(
             tensor, "STTA", tasks.experiment_stream_sketch,
@@ -497,7 +516,7 @@ def run_cookie(out: str = "results", quick: bool = False, progress=True):
     sketch_ranks = [8] if quick else list(range(10, 101, 5))
     pairwise_ranks = [8] if quick else list(range(10, 51, 5))
     maxiter = 8 if quick else 50
-    runs = range(1) if quick else range(10)
+    runs = range(1) if quick else range(20)  # do_cookie.py:94: 20 runs
     final_round_ranks = (4, 8) if quick else tuple(range(10, 101, 5))
     exp = _exp(out, "cookie")
 
