@@ -113,6 +113,13 @@ def final_round() -> None:
             continue
         top = max(float(r["max_rank"]) for r in sel)
         sel = [r for r in sel if float(r["max_rank"]) == top]
+        # Rows may carry different final_round_ranks grids (quick-mode
+        # (4, 8) rows next to the full 10..100 sweep); medians must only
+        # pair errors from the same grid — keep the majority grid.
+        grids = defaultdict(list)
+        for r in sel:
+            grids[r["final_round_ranks"]].append(r)
+        sel = max(grids.values(), key=len)
         ranks = _json.loads(sel[0]["final_round_ranks"])
         print(f"\nsolve={solve_m} max_rank={int(top)} (n={len(sel)} runs)")
         print("| final rank | true resid (final=sketch) | "

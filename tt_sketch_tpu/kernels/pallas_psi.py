@@ -26,8 +26,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tt_sketch_tpu.kernels.pallas_rng import (
     _add64,
+    _gen_sign_rows,
     _hash64_pair,
     _normal_from_pair,
+    drm_salts,
 )
 
 
@@ -135,15 +137,72 @@ def _gen_rows(salt_hi, salt_lo, flat_hi, flat_lo):
     return _normal_from_pair(h, l)
 
 
+# A fused-kernel SIDE is described by a static hashable spec so every
+# kernel works for Gaussian, sparse-sign, and mixed DRM pairs (VERDICT r4
+# #1: the reference's cheapest DRM, sparse_sign_drm.py:30-32, must ride
+# the same in-kernel generation as the Gaussian family):
+#
+#   ("g",)                               lazy-Gaussian rows; salts are the
+#                                        sliced [rank_min, rank_max) range
+#   ("s", rank, nnz, rank_min, r_out)    sparse-sign rows; salts cover the
+#                                        full working range [0, R_full)
+#
+# plus the salts array (uint64) the caller derives with drm_salts.
+
+
+def side_spec(drm, k: int, seed):
+    """(static spec, salts) for one hash-family DRM side of the fused
+    kernels: generator step ``k`` at the given derived seed."""
+    from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
+
+    if isinstance(drm, SparseSignDRM):
+        rank = int(drm.true_rank[k])
+        nnz = int(drm.nnz[k])
+        rank_min = int(drm.rank_min[k])
+        r_out = int(drm.rank_max[k] - drm.rank_min[k])
+        r_out_pad = _round8(max(r_out, 1))
+        R_full = _round8(max(rank, rank_min + r_out_pad))
+        return ("s", rank, nnz, rank_min, r_out), drm_salts(0, R_full, seed)
+    return (
+        ("g",),
+        drm_salts(int(drm.rank_min[k]), int(drm.rank_max[k]), seed),
+    )
+
+
+def _side_pads(spec, salts):
+    """(salt-block rows, generated-output rows) for a side spec — both
+    already padded to the 8-sublane tile."""
+    if spec[0] == "g":
+        R = _round8(salts.shape[0])
+        return R, R
+    _, rank, nnz, rank_min, r_out = spec
+    r_out_pad = _round8(max(r_out, 1))
+    return _round8(max(rank, rank_min + r_out_pad)), r_out_pad
+
+
+def _gen_spec_rows(spec, salt_hi, salt_lo, flat_hi, flat_lo):
+    """In-kernel row generation dispatched on the static side spec."""
+    if spec[0] == "g":
+        return _gen_rows(salt_hi, salt_lo, flat_hi, flat_lo)
+    _, rank, nnz, rank_min, r_out = spec
+    return _gen_sign_rows(
+        salt_hi, salt_lo, flat_hi, flat_lo, rank=rank, nnz=nnz,
+        rank_min=rank_min, r_out_pad=_round8(max(r_out, 1)),
+    )
+
+
+_GAUSS = ("g",)
+
+
 def _fused_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
                   rf_lo_ref, ls_hi_ref, ls_lo_ref, rs_hi_ref, rs_lo_ref,
-                  out_ref, *, span: int):
+                  out_ref, *, span: int, lspec=_GAUSS, rspec=_GAUSS):
     C = loc_ref.shape[1]
-    R1 = ls_hi_ref.shape[0]
-    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
-                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1, C)
-    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
-                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2, C)
+    L = _gen_spec_rows(lspec, ls_hi_ref[:, :], ls_lo_ref[:, :],
+                       lf_hi_ref[:, :], lf_lo_ref[:, :])     # (R1, C)
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2, C)
+    R1 = L.shape[0]
     le = L * e_ref[0, :][None, :]
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
@@ -154,10 +213,10 @@ def _fused_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
 
 
 def _fused_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref, rs_hi_ref,
-                         rs_lo_ref, out_ref, *, span: int):
+                         rs_lo_ref, out_ref, *, span: int, rspec=_GAUSS):
     C = loc_ref.shape[1]
-    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
-                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2, C)
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2, C)
     re = R * e_ref[0, :][None, :]
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
@@ -167,10 +226,10 @@ def _fused_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref, rs_hi_ref,
 
 
 def _fused_kernel_noright(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, ls_hi_ref,
-                          ls_lo_ref, out_ref, *, span: int):
+                          ls_lo_ref, out_ref, *, span: int, lspec=_GAUSS):
     C = loc_ref.shape[1]
-    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
-                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1, C)
+    L = _gen_spec_rows(lspec, ls_hi_ref[:, :], ls_lo_ref[:, :],
+                       lf_hi_ref[:, :], lf_lo_ref[:, :])     # (R1, C)
     le = L * e_ref[0, :][None, :]
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
@@ -204,7 +263,9 @@ def _round8(x: int) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("n_chunks", "span", "chunk", "interpret"),
+    static_argnames=(
+        "n_chunks", "span", "chunk", "interpret", "lspec", "rspec",
+    ),
 )
 def psi_fused_slabs(
     loc,
@@ -217,6 +278,8 @@ def psi_fused_slabs(
     span: int,
     chunk: int,
     interpret: bool = False,
+    lspec=_GAUSS,
+    rspec=_GAUSS,
 ):
     """Per-chunk Ψ slabs with DRM rows hashed in-kernel at sorted order.
 
@@ -224,7 +287,8 @@ def psi_fused_slabs(
     ``se`` (nnz,) sorted entries, ``lflat``/``rflat`` ((nnz,) u32 hi/lo
     pair tuples) flat prefix/suffix hash inputs (either may be None at
     the boundary modes), ``lsalts``/``rsalts`` (r,) uint64 per-column
-    salts (``hash(col)+seed``).
+    salts and ``lspec``/``rspec`` static side specs (see ``side_spec`` —
+    Gaussian, sparse-sign, or mixed).
 
     Returns float32 slabs:
       - both sides:  (n_chunks, span·R1_pad, R2_pad)
@@ -247,19 +311,20 @@ def psi_fused_slabs(
     )
 
     if lflat is not None and rflat is not None:
-        R1p, R2p = _round8(lsalts.shape[0]), _round8(rsalts.shape[0])
+        ls_rows, R1p = _side_pads(lspec, lsalts)
+        rs_rows, R2p = _side_pads(rspec, rsalts)
         lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
         rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
-        ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
-        rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+        ls_hi, ls_lo = _split_u64_rows(lsalts, ls_rows)
+        rs_hi, rs_lo = _split_u64_rows(rsalts, rs_rows)
         return pl.pallas_call(
-            partial(_fused_kernel, span=span),
+            partial(_fused_kernel, span=span, lspec=lspec, rspec=rspec),
             out_shape=jax.ShapeDtypeStruct(
                 (n_chunks, span * R1p, R2p), jnp.float32
             ),
             grid=(n_chunks,),
-            in_specs=[col_spec(1)] * 6 + [salt_spec(R1p)] * 2
-            + [salt_spec(R2p)] * 2,
+            in_specs=[col_spec(1)] * 6 + [salt_spec(ls_rows)] * 2
+            + [salt_spec(rs_rows)] * 2,
             out_specs=pl.BlockSpec(
                 (1, span * R1p, R2p), lambda c: (c, _i32(0), _i32(0)),
                 memory_space=pltpu.VMEM,
@@ -268,14 +333,14 @@ def psi_fused_slabs(
         )(loc2, se2, lf_hi, lf_lo, rf_hi, rf_lo, ls_hi, ls_lo, rs_hi, rs_lo)
 
     if lflat is None:
-        R2p = _round8(rsalts.shape[0])
+        rs_rows, R2p = _side_pads(rspec, rsalts)
         rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
-        rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+        rs_hi, rs_lo = _split_u64_rows(rsalts, rs_rows)
         return pl.pallas_call(
-            partial(_fused_kernel_noleft, span=span),
+            partial(_fused_kernel_noleft, span=span, rspec=rspec),
             out_shape=jax.ShapeDtypeStruct((n_chunks, span, R2p), jnp.float32),
             grid=(n_chunks,),
-            in_specs=[col_spec(1)] * 4 + [salt_spec(R2p)] * 2,
+            in_specs=[col_spec(1)] * 4 + [salt_spec(rs_rows)] * 2,
             out_specs=pl.BlockSpec(
                 (1, span, R2p), lambda c: (c, _i32(0), _i32(0)),
                 memory_space=pltpu.VMEM,
@@ -283,14 +348,14 @@ def psi_fused_slabs(
             interpret=interpret,
         )(loc2, se2, rf_hi, rf_lo, rs_hi, rs_lo)
 
-    R1p = _round8(lsalts.shape[0])
+    ls_rows, R1p = _side_pads(lspec, lsalts)
     lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
-    ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
+    ls_hi, ls_lo = _split_u64_rows(lsalts, ls_rows)
     return pl.pallas_call(
-        partial(_fused_kernel_noright, span=span),
+        partial(_fused_kernel_noright, span=span, lspec=lspec),
         out_shape=jax.ShapeDtypeStruct((n_chunks, span, R1p), jnp.float32),
         grid=(n_chunks,),
-        in_specs=[col_spec(1)] * 4 + [salt_spec(R1p)] * 2,
+        in_specs=[col_spec(1)] * 4 + [salt_spec(ls_rows)] * 2,
         out_specs=pl.BlockSpec(
             (1, span, R1p), lambda c: (c, _i32(0), _i32(0)),
             memory_space=pltpu.VMEM,
@@ -309,40 +374,44 @@ def psi_fused_slabs(
 
 
 def _omega_kernel(e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref, rf_lo_ref,
-                  ls_hi_ref, ls_lo_ref, rs_hi_ref, rs_lo_ref, out_ref):
+                  ls_hi_ref, ls_lo_ref, rs_hi_ref, rs_lo_ref, out_ref, *,
+                  lspec=_GAUSS, rspec=_GAUSS):
     # one (R1p, R2p) partial per chunk; the caller sums over chunks.  An
     # in-kernel accumulator (same output block revisited across the grid
     # with @pl.when init) MISCOMPILES on real Mosaic when combined with
     # other outputs/large grids: lbnl-synthetic showed NaN/inf omegas on
     # chip while interpret mode was exact.  Per-chunk partials are
     # KB-scale, so the outside reduction is free.
-    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
-                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1p, C)
-    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
-                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
+    L = _gen_spec_rows(lspec, ls_hi_ref[:, :], ls_lo_ref[:, :],
+                       lf_hi_ref[:, :], lf_lo_ref[:, :])     # (R1p, C)
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2p, C)
     le = L * e_ref[0, :][None, :]
     out_ref[0] = jnp.dot(le, R.T, preferred_element_type=out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("chunk", "interpret"))
+@partial(
+    jax.jit, static_argnames=("chunk", "interpret", "lspec", "rspec")
+)
 def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 1024,
-                interpret: bool = False):
+                interpret: bool = False, lspec=_GAUSS, rspec=_GAUSS):
     """(R1_pad, R2_pad) float32 Ω block with DRM rows hashed in-kernel.
 
     ``e`` (nnz,) entries, ``lflat``/``rflat`` (hi, lo) u32 pair tuples of
     the flat prefix/suffix indices, ``lsalts``/``rsalts`` (r,) uint64
-    column salts.  Zero-padded tail entries contribute exact zeros."""
+    column salts, ``lspec``/``rspec`` static side specs (``side_spec``).
+    Zero-padded tail entries contribute exact zeros."""
     nnz = e.shape[0]
     C = int(chunk)
     n_chunks = max(1, -(-nnz // C))
     N_pad = n_chunks * C
     e2 = jnp.pad(e.astype(jnp.float32), (0, N_pad - nnz)).reshape(1, N_pad)
-    R1p = _round8(lsalts.shape[0])
-    R2p = _round8(rsalts.shape[0])
+    ls_rows, R1p = _side_pads(lspec, lsalts)
+    rs_rows, R2p = _side_pads(rspec, rsalts)
     lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
     rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
-    ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
-    rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
+    ls_hi, ls_lo = _split_u64_rows(lsalts, ls_rows)
+    rs_hi, rs_lo = _split_u64_rows(rsalts, rs_rows)
 
     col_spec = pl.BlockSpec(
         (1, C), lambda c: (_i32(0), c), memory_space=pltpu.VMEM
@@ -351,10 +420,11 @@ def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 1024,
         (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
     )
     partials = pl.pallas_call(
-        _omega_kernel,
+        partial(_omega_kernel, lspec=lspec, rspec=rspec),
         out_shape=jax.ShapeDtypeStruct((n_chunks, R1p, R2p), jnp.float32),
         grid=(n_chunks,),
-        in_specs=[col_spec] * 5 + [salt_spec(R1p)] * 2 + [salt_spec(R2p)] * 2,
+        in_specs=[col_spec] * 5 + [salt_spec(ls_rows)] * 2
+        + [salt_spec(rs_rows)] * 2,
         out_specs=pl.BlockSpec(
             (1, R1p, R2p), lambda c: (c, _i32(0), _i32(0)),
             memory_space=pltpu.VMEM,
@@ -377,14 +447,14 @@ def omega_fused(e, lflat, rflat, lsalts, rsalts, chunk: int = 1024,
 def _merged_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
                    rf_lo_ref, lo_hi_ref, lo_lo_ref, ls_hi_ref, ls_lo_ref,
                    rs_hi_ref, rs_lo_ref, os_hi_ref, os_lo_ref,
-                   slab_ref, om_ref, *, span: int):
-    c = pl.program_id(0)
+                   slab_ref, om_ref, *, span: int, lspec=_GAUSS,
+                   rspec=_GAUSS, ospec=_GAUSS):
     C = loc_ref.shape[1]
-    R1 = ls_hi_ref.shape[0]
-    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
-                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
-    L = _gen_rows(ls_hi_ref[:, :], ls_lo_ref[:, :],
-                  lf_hi_ref[:, :], lf_lo_ref[:, :])          # (R1p, C)
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2p, C)
+    L = _gen_spec_rows(lspec, ls_hi_ref[:, :], ls_lo_ref[:, :],
+                       lf_hi_ref[:, :], lf_lo_ref[:, :])     # (R1p, C)
+    R1 = L.shape[0]
     e = e_ref[0, :][None, :]
     le = L * e
     onehot = (
@@ -394,18 +464,18 @@ def _merged_kernel(loc_ref, e_ref, lf_hi_ref, lf_lo_ref, rf_hi_ref,
     m1 = (onehot[:, None, :] * le[None, :, :]).reshape(span * R1, C)
     slab_ref[0] = jnp.dot(m1, R.T, preferred_element_type=slab_ref.dtype)
 
-    Lo = _gen_rows(os_hi_ref[:, :], os_lo_ref[:, :],
-                   lo_hi_ref[:, :], lo_lo_ref[:, :])         # (R1op, C)
+    Lo = _gen_spec_rows(ospec, os_hi_ref[:, :], os_lo_ref[:, :],
+                        lo_hi_ref[:, :], lo_lo_ref[:, :])    # (R1op, C)
     om_ref[0] = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
 
 
 def _merged_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref,
                           lo_hi_ref, lo_lo_ref, rs_hi_ref, rs_lo_ref,
                           os_hi_ref, os_lo_ref, slab_ref, om_ref, *,
-                          span: int):
+                          span: int, rspec=_GAUSS, ospec=_GAUSS):
     C = loc_ref.shape[1]
-    R = _gen_rows(rs_hi_ref[:, :], rs_lo_ref[:, :],
-                  rf_hi_ref[:, :], rf_lo_ref[:, :])          # (R2p, C)
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2p, C)
     e = e_ref[0, :][None, :]
     re = R * e
     onehot = (
@@ -414,13 +484,16 @@ def _merged_kernel_noleft(loc_ref, e_ref, rf_hi_ref, rf_lo_ref,
     ).astype(slab_ref.dtype)
     slab_ref[0] = jnp.dot(onehot, re.T, preferred_element_type=slab_ref.dtype)
 
-    Lo = _gen_rows(os_hi_ref[:, :], os_lo_ref[:, :],
-                   lo_hi_ref[:, :], lo_lo_ref[:, :])         # (R1op, C)
+    Lo = _gen_spec_rows(ospec, os_hi_ref[:, :], os_lo_ref[:, :],
+                        lo_hi_ref[:, :], lo_lo_ref[:, :])    # (R1op, C)
     om_ref[0] = jnp.dot(Lo * e, R.T, preferred_element_type=om_ref.dtype)
 
 
 @partial(
-    jax.jit, static_argnames=("n_chunks", "span", "chunk", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "span", "chunk", "interpret", "lspec", "rspec", "ospec",
+    ),
 )
 def psi_omega_merged_slabs(
     loc,
@@ -435,13 +508,18 @@ def psi_omega_merged_slabs(
     span: int,
     chunk: int,
     interpret: bool = False,
+    lspec=_GAUSS,
+    rspec=_GAUSS,
+    ospec=_GAUSS,
 ):
     """One pass per chunk computing the Ψ_μ slab stack AND the Ω_μ
     accumulator, sharing the in-kernel generation of R_μ.
 
     Returns ``(slabs, om)``: slabs as in :func:`psi_fused_slabs` (both
     variants), ``om`` (R1o_pad, R2_pad) float32.  ``lflat`` may be None
-    (μ=0: Ψ has no left side, Ω still has its inclusive-prefix rows)."""
+    (μ=0: Ψ has no left side, Ω still has its inclusive-prefix rows).
+    ``lspec``/``rspec``/``ospec`` are static side specs (``side_spec``);
+    the Ω left side follows the left DRM's family at step μ."""
     C = chunk
     N_pad = n_chunks * C
     nnz = se.shape[0]
@@ -454,31 +532,32 @@ def psi_omega_merged_slabs(
     salt_spec = lambda r: pl.BlockSpec(  # noqa: E731
         (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
     )
-    R2p = _round8(rsalts.shape[0])
-    R1op = _round8(osalts.shape[0])
+    rs_rows, R2p = _side_pads(rspec, rsalts)
+    os_rows, R1op = _side_pads(ospec, osalts)
     rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
     lo_hi, lo_lo = _pad_pair_cols(oflat, N_pad)
-    rs_hi, rs_lo = _split_u64_rows(rsalts, R2p)
-    os_hi, os_lo = _split_u64_rows(osalts, R1op)
+    rs_hi, rs_lo = _split_u64_rows(rsalts, rs_rows)
+    os_hi, os_lo = _split_u64_rows(osalts, os_rows)
     om_spec = pl.BlockSpec(
         (1, R1op, R2p), lambda c: (c, _i32(0), _i32(0)),
         memory_space=pltpu.VMEM,
     )
 
     if lflat is not None:
-        R1p = _round8(lsalts.shape[0])
+        ls_rows, R1p = _side_pads(lspec, lsalts)
         lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
-        ls_hi, ls_lo = _split_u64_rows(lsalts, R1p)
+        ls_hi, ls_lo = _split_u64_rows(lsalts, ls_rows)
         slabs, om_partials = pl.pallas_call(
-            partial(_merged_kernel, span=span),
+            partial(_merged_kernel, span=span, lspec=lspec, rspec=rspec,
+                    ospec=ospec),
             out_shape=(
                 jax.ShapeDtypeStruct((n_chunks, span * R1p, R2p),
                                      jnp.float32),
                 jax.ShapeDtypeStruct((n_chunks, R1op, R2p), jnp.float32),
             ),
             grid=(n_chunks,),
-            in_specs=[col_spec(1)] * 8 + [salt_spec(R1p)] * 2
-            + [salt_spec(R2p)] * 2 + [salt_spec(R1op)] * 2,
+            in_specs=[col_spec(1)] * 8 + [salt_spec(ls_rows)] * 2
+            + [salt_spec(rs_rows)] * 2 + [salt_spec(os_rows)] * 2,
             out_specs=(
                 pl.BlockSpec(
                     (1, span * R1p, R2p), lambda c: (c, _i32(0), _i32(0)),
@@ -492,14 +571,14 @@ def psi_omega_merged_slabs(
         return slabs, jnp.sum(om_partials, axis=0)
 
     slabs, om_partials = pl.pallas_call(
-        partial(_merged_kernel_noleft, span=span),
+        partial(_merged_kernel_noleft, span=span, rspec=rspec, ospec=ospec),
         out_shape=(
             jax.ShapeDtypeStruct((n_chunks, span, R2p), jnp.float32),
             jax.ShapeDtypeStruct((n_chunks, R1op, R2p), jnp.float32),
         ),
         grid=(n_chunks,),
-        in_specs=[col_spec(1)] * 6 + [salt_spec(R2p)] * 2
-        + [salt_spec(R1op)] * 2,
+        in_specs=[col_spec(1)] * 6 + [salt_spec(rs_rows)] * 2
+        + [salt_spec(os_rows)] * 2,
         out_specs=(
             pl.BlockSpec(
                 (1, span, R2p), lambda c: (c, _i32(0), _i32(0)),

@@ -277,22 +277,44 @@ def lazy_gaussian_pallas(
     )
 
 
-def _sign_rows_kernel(
-    flat_hi_ref, flat_lo_ref, salt_hi_ref, salt_lo_ref, out_ref,
-    *, rank: int, nnz: int, rank_min: int,
+def _swap_position(hi20_j, l_j, m: int, j: int):
+    """EXACT integer ``floor(u52·m / 2^52) + j`` for one Fisher–Yates draw.
+
+    ``u52 = hi20·2^32 + l`` (the 52-bit mantissa split into its top-20 /
+    low-32 limbs), so ``u52·m = (hi20·m + floor(l·m/2^32))·2^32 + …`` and
+    the floor is ``(hi20·m + hi_limb(l·m)) >> 20`` — computed with 64-bit
+    limb arithmetic throughout, so it is exact for ANY rank < 2^31 (the
+    earlier plain-u32 ``hi20·m`` wrapped for rank−j > 4096; ADVICE r4).
+    The f64 oracles compute the same quantity with one f64 rounding;
+    they can differ only when the exact product sits within ~2^-42 of an
+    integer — never observed, and the integer floor is the
+    mathematically intended draw."""
+    mm = np.uint32(m)
+    ah, al = _mul32_wide(hi20_j, mm)
+    bh, _ = _mul32_wide(l_j, mm)
+    sh, sl = _add64(ah, al, jnp.zeros_like(bh), bh)
+    return (
+        (sh << np.uint32(12)) | (sl >> np.uint32(20))
+    ).astype(jnp.int32) + np.int32(j)
+
+
+def _gen_sign_rows(
+    salt_hi, salt_lo, flat_hi, flat_lo, *, rank: int, nnz: int,
+    rank_min: int, r_out_pad: int,
 ):
-    """Sparse-sign DRM rows, generated fully in-kernel.
+    """Sparse-sign DRM rows as an in-kernel pure function (usable from any
+    Pallas kernel — the standalone generator below and the fused Ψ/Ω
+    kernels in pallas_psi.py share it).
 
     Per sample (column t): hash (flat+salt_j) for j < nnz; the sign is
     u64 bit 52 (the frexp-exponent parity of the reference,
     fast_lazy_gaussian.pyx:121-154); position j is Fisher–Yates-swapped
-    with ``floor(u52·(rank−j)/2^52) + j`` — computed as an EXACT integer
-    floor via 32-bit limb products (the f64 oracles compute the same
-    quantity with one f64 rounding; they can differ only when the exact
-    product sits within ~2^-42 of an integer — never observed, and the
-    integer floor is the mathematically intended draw)."""
-    fh, fl = flat_hi_ref[:, :], flat_lo_ref[:, :]  # (1, T)
-    h, l = _add64(salt_hi_ref[:, :], salt_lo_ref[:, :], fh, fl)
+    with the exact-integer :func:`_swap_position`.  ``salt_*`` blocks are
+    (R_full, 1) with R_full ≥ max(rank, rank_min + r_out_pad); only rows
+    j < nnz drive draws.  Returns rows [rank_min, rank_min + r_out_pad).
+    """
+    fh, fl = flat_hi, flat_lo  # (1, T)
+    h, l = _add64(salt_hi, salt_lo, fh, fl)
     h, l = _hash64_pair(h, l)  # (R_full, T)
     R_full = h.shape[0]
     # u64 bit 52 = hi bit 20: the exponent-parity sign
@@ -304,10 +326,7 @@ def _sign_rows_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (R_full, fh.shape[1]), 0)
     out = jnp.where(rows < np.int32(nnz), sign, np.float32(0.0))
     for j in range(nnz):
-        m = np.uint32(rank - j)
-        a = hi20[j:j + 1, :] * m
-        bh, _ = _mul32_wide(l[j:j + 1, :], m)
-        rp = ((a + bh) >> np.uint32(20)).astype(jnp.int32) + np.int32(j)
+        rp = _swap_position(hi20[j:j + 1, :], l[j:j + 1, :], rank - j, j)
         vj = out[j:j + 1, :]
         mask = rows == rp
         vr = jnp.sum(
@@ -315,7 +334,19 @@ def _sign_rows_kernel(
         )
         out = jnp.where(rows == np.int32(j), vr, out)
         out = jnp.where(mask, vj, out)
-    out_ref[:, :] = out[rank_min:rank_min + out_ref.shape[0], :]
+    return out[rank_min:rank_min + r_out_pad, :]
+
+
+def _sign_rows_kernel(
+    flat_hi_ref, flat_lo_ref, salt_hi_ref, salt_lo_ref, out_ref,
+    *, rank: int, nnz: int, rank_min: int,
+):
+    out_ref[:, :] = _gen_sign_rows(
+        salt_hi_ref[:, :], salt_lo_ref[:, :],
+        flat_hi_ref[:, :], flat_lo_ref[:, :],
+        rank=rank, nnz=nnz, rank_min=rank_min,
+        r_out_pad=out_ref.shape[0],
+    )
 
 
 @partial(
@@ -380,7 +411,8 @@ def inds_to_sparse_sign_pallas(
     device arithmetic — the path SparseSignDRM fell onto before, VERDICT
     r3 weak #4).  Bit-exact vs ``inds_to_sparse_sign_np`` (±1 values and
     integer swap positions carry no float truncation, unlike the
-    24-bit-uniform Gaussian path)."""
+    24-bit-uniform Gaussian path); swap positions are exact for any
+    rank < 2^31 (64-bit limb products, ``_swap_position``)."""
     return sparse_sign_pallas_from_pairs(
         flat_u32_pairs(indices, shape), rank, rank_min, rank_max,
         nnz_per_row, seed, tile_n=tile_n, interpret=interpret,

@@ -77,47 +77,52 @@ def sketch_psi_dense(left_sketch, right_sketch, *, tensor, mu, **kwargs):
 # -- sparse ------------------------------------------------------------------
 
 def _can_fuse_omega(tensor, left_drm, right_drm) -> bool:
-    from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
-
     return (
         _use_pallas_psi(tensor.entries.dtype)
-        and isinstance(left_drm, SparseGaussianDRM)
-        and left_drm._use_pallas()
-        and isinstance(right_drm, SparseGaussianDRM)
-        and right_drm._use_pallas()
+        and _is_hash_pallas_drm(left_drm)
+        and _is_hash_pallas_drm(right_drm)
     )
+
+
+def _drm_step_seed(drm, k: int):
+    """The per-generator-step derived seed (seed + k mod 2^63) every
+    hash-family sketch path shares."""
+    return (
+        jnp.asarray(drm.seed, jnp.uint64) + jnp.uint64(k)
+    ) % jnp.uint64(2 ** 63)
+
+
+def _drm_side(drm, k: int):
+    """(static side spec, salts) for generator step ``k`` of a
+    hash-family DRM (pallas_psi.side_spec over the derived seed)."""
+    from tt_sketch_tpu.kernels.pallas_psi import side_spec
+
+    return side_spec(drm, k, _drm_step_seed(drm, k))
 
 
 def _omega_sparse_fused(tensor, mu, left_drm, right_drm):
-    """Ω_μ with both DRM row families hashed inside the accumulating
-    Pallas kernel (kernels/pallas_psi.py:omega_fused) — removes the
-    materialized contraction lists from the streaming program (30.6 ms of
-    the 73 ms uber-scale sketch was list generation).  Seed/rank
-    derivation identical to ``SparseGaussianDRM.sketch_sparse``."""
+    """Ω_μ with both DRM row families (Gaussian, sign, or mixed) hashed
+    inside the accumulating Pallas kernel (kernels/pallas_psi.py:
+    omega_fused) — removes the materialized contraction lists from the
+    streaming program (30.6 ms of the 73 ms uber-scale sketch was list
+    generation).  Seed/rank derivation identical to
+    ``SparseGaussianDRM.sketch_sparse`` / ``SparseSignDRM.sketch_sparse``."""
     from tt_sketch_tpu.config import pallas_interpret
     from tt_sketch_tpu.kernels.pallas_psi import omega_fused
-    from tt_sketch_tpu.kernels.pallas_rng import drm_salts, flat_u32_pairs
+    from tt_sketch_tpu.kernels.pallas_rng import flat_u32_pairs
 
     d = len(tensor.shape)
     dtype = tensor.entries.dtype
-    seed_l = (
-        jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu)
-    ) % jnp.uint64(2 ** 63)
-    lsalts = drm_salts(left_drm.rank_min[mu], left_drm.rank_max[mu], seed_l)
+    lspec, lsalts = _drm_side(left_drm, mu)
     mu_t = d - 2 - mu
-    seed_r = (
-        jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(mu_t)
-    ) % jnp.uint64(2 ** 63)
-    rsalts = drm_salts(
-        right_drm.rank_min[mu_t], right_drm.rank_max[mu_t], seed_r
-    )
+    rspec, rsalts = _drm_side(right_drm, mu_t)
     lflat = flat_u32_pairs(tensor.indices[: mu + 1], tensor.shape[: mu + 1])
     rflat = flat_u32_pairs(
         tensor.indices[::-1][: d - 1 - mu], tensor.shape[::-1][: d - 1 - mu]
     )
     om = omega_fused(
         tensor.entries, lflat, rflat, lsalts, rsalts,
-        interpret=pallas_interpret(),
+        interpret=pallas_interpret(), lspec=lspec, rspec=rspec,
     )
     r1 = left_drm.rank[mu]
     r2 = right_drm.rank[mu_t]
@@ -403,21 +408,16 @@ def _can_fuse_psi(mp, tensor, mu, left_drm, right_drm) -> bool:
     """The fused sorted-stream kernel applies when the plan carries the
     sorted streams and both consumed sides are hash-family DRMs on the
     Pallas fast path (their materialized rows equal what the kernel hashes
-    in-kernel, so Ψ and Ω stay mutually consistent)."""
+    in-kernel, so Ψ and Ω stay mutually consistent).  Covers Gaussian,
+    sparse-sign, and mixed pairs (the side specs dispatch per side)."""
     if mp.sorted_entries is None:
         return False
     if not _use_pallas_psi(tensor.entries.dtype):
         return False
-    from tt_sketch_tpu.drm.sparse_gaussian_drm import SparseGaussianDRM
-
     d = len(tensor.shape)
-    if mu > 0 and not (
-        isinstance(left_drm, SparseGaussianDRM) and left_drm._use_pallas()
-    ):
+    if mu > 0 and not _is_hash_pallas_drm(left_drm):
         return False
-    if mu < d - 1 and not (
-        isinstance(right_drm, SparseGaussianDRM) and right_drm._use_pallas()
-    ):
+    if mu < d - 1 and not _is_hash_pallas_drm(right_drm):
         return False
     return True
 
@@ -433,29 +433,19 @@ def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
     (already reversed) rank slice."""
     from tt_sketch_tpu.config import pallas_interpret
     from tt_sketch_tpu.kernels.pallas_psi import psi_fused_slabs
-    from tt_sketch_tpu.kernels.pallas_rng import drm_salts
 
     d = len(tensor.shape)
     dtype = tensor.entries.dtype
     nc, S, C = plan.n_chunks, plan.span, plan.chunk
     lsalts = rsalts = None
+    lspec = rspec = ("g",)
     r1 = r2 = 1
     if mu > 0:
-        seed_l = (
-            jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu - 1)
-        ) % jnp.uint64(2 ** 63)
-        lsalts = drm_salts(
-            left_drm.rank_min[mu - 1], left_drm.rank_max[mu - 1], seed_l
-        )
+        lspec, lsalts = _drm_side(left_drm, mu - 1)
         r1 = left_drm.rank[mu - 1]
     if mu < d - 1:
         mu_t = d - 2 - mu
-        seed_r = (
-            jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(mu_t)
-        ) % jnp.uint64(2 ** 63)
-        rsalts = drm_salts(
-            right_drm.rank_min[mu_t], right_drm.rank_max[mu_t], seed_r
-        )
+        rspec, rsalts = _drm_side(right_drm, mu_t)
         r2 = right_drm.rank[mu_t]
 
     slabs = psi_fused_slabs(
@@ -469,6 +459,8 @@ def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
         span=S,
         chunk=C,
         interpret=pallas_interpret(),
+        lspec=lspec,
+        rspec=rspec,
     )
     if 0 < mu < d - 1:
         R1p = slabs.shape[1] // S
@@ -663,36 +655,25 @@ def sketch_psi_tucker(left_sketch, right_sketch, *, tensor, mu, **kwargs):
 
 def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
     """Ψ_μ and Ω_μ from the merged kernel (pallas_psi.py): one pass over
-    the mode-sorted stream, R_μ generated once for both."""
+    the mode-sorted stream, R_μ generated once for both.  Side specs
+    dispatch Gaussian vs sign per side (the Ω left side follows the left
+    DRM's family at step μ)."""
     from tt_sketch_tpu.config import pallas_interpret
     from tt_sketch_tpu.kernels.pallas_psi import psi_omega_merged_slabs
-    from tt_sketch_tpu.kernels.pallas_rng import drm_salts
 
     d = len(tensor.shape)
     dtype = tensor.entries.dtype
     nc, S, C = plan.n_chunks, plan.span, plan.chunk
     lsalts = None
+    lspec = ("g",)
     r1 = 1
     if mu > 0:
-        seed_l = (
-            jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu - 1)
-        ) % jnp.uint64(2 ** 63)
-        lsalts = drm_salts(
-            left_drm.rank_min[mu - 1], left_drm.rank_max[mu - 1], seed_l
-        )
+        lspec, lsalts = _drm_side(left_drm, mu - 1)
         r1 = left_drm.rank[mu - 1]
     mu_t = d - 2 - mu
-    seed_r = (
-        jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(mu_t)
-    ) % jnp.uint64(2 ** 63)
-    rsalts = drm_salts(
-        right_drm.rank_min[mu_t], right_drm.rank_max[mu_t], seed_r
-    )
+    rspec, rsalts = _drm_side(right_drm, mu_t)
     r2 = right_drm.rank[mu_t]
-    seed_lo = (
-        jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(mu)
-    ) % jnp.uint64(2 ** 63)
-    osalts = drm_salts(left_drm.rank_min[mu], left_drm.rank_max[mu], seed_lo)
+    ospec, osalts = _drm_side(left_drm, mu)
     r1_om = left_drm.rank[mu]
 
     slabs, om = psi_omega_merged_slabs(
@@ -708,6 +689,9 @@ def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
         span=S,
         chunk=C,
         interpret=pallas_interpret(),
+        lspec=lspec,
+        rspec=rspec,
+        ospec=ospec,
     )
     if mu > 0:
         R1p = slabs.shape[1] // S
@@ -724,16 +708,16 @@ def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
 
 def sparse_streaming_sketch_fused(tensor, left_drm, right_drm):
     """Full streaming (Ψ list, Ω list) of a SparseTensor with hash-family
-    DRMs, entirely through the fused Pallas kernels — no materialized DRM
-    contraction lists (the generic engine's lists cost 30.6 ms of a 73 ms
-    sketch at FROSTT-uber scale).
+    DRMs (Gaussian, sign, or mixed), entirely through the fused Pallas
+    kernels — no materialized DRM contraction lists (the generic engine's
+    lists cost 30.6 ms of a 73 ms sketch at FROSTT-uber scale).
 
     Per mode: the merged Ψ+Ω kernel where the plan carries the inclusive
     prefix (R_μ hashed once for both); otherwise fused Ψ + standalone
     fused Ω; modes without plans fall back to the segment path over
     lazily generated rows.  Results equal the generic engine's to f32
     summation tolerance (same generator, different grouping)."""
-    from tt_sketch_tpu.kernels.pallas_rng import inds_to_normal_pallas
+    from tt_sketch_tpu.kernels.pallas_rng import flat_u32_pairs
 
     d = len(tensor.shape)
     dtype = tensor.entries.dtype
@@ -742,25 +726,18 @@ def sparse_streaming_sketch_fused(tensor, left_drm, right_drm):
 
     def _lrows(k):
         if k not in lrow_cache:
-            seed = (
-                jnp.asarray(left_drm.seed, jnp.uint64) + jnp.uint64(k)
-            ) % jnp.uint64(2 ** 63)
-            lrow_cache[k] = inds_to_normal_pallas(
-                tensor.indices[: k + 1], tensor.shape[: k + 1],
-                left_drm.rank_min[k], left_drm.rank_max[k], seed,
-            ).astype(dtype)
+            pair = flat_u32_pairs(
+                tensor.indices[: k + 1], tensor.shape[: k + 1]
+            )
+            lrow_cache[k] = _hash_rows_from_pairs(left_drm, k, pair, dtype)
         return lrow_cache[k]
 
     def _rrows(kt):
         if kt not in rrow_cache:
-            seed = (
-                jnp.asarray(right_drm.seed, jnp.uint64) + jnp.uint64(kt)
-            ) % jnp.uint64(2 ** 63)
-            rrow_cache[kt] = inds_to_normal_pallas(
-                tensor.indices[::-1][: kt + 1],
-                tensor.shape[::-1][: kt + 1],
-                right_drm.rank_min[kt], right_drm.rank_max[kt], seed,
-            ).astype(dtype)
+            pair = flat_u32_pairs(
+                tensor.indices[::-1][: kt + 1], tensor.shape[::-1][: kt + 1]
+            )
+            rrow_cache[kt] = _hash_rows_from_pairs(right_drm, kt, pair, dtype)
         return rrow_cache[kt]
 
     Psi = []
