@@ -168,6 +168,56 @@ def test_sharded_fused_matches_single_chip(monkeypatch):
 
 
 @needs_8
+@pytest.mark.parametrize(
+    "mesh_shape,names",
+    [
+        ((2, 2, 2), ("data", "left", "right")),
+        ((1, 4, 2), ("data", "left", "right")),
+        ((4, 2), ("data", "right")),
+    ],
+)
+def test_sharded_fused_rank_axes(monkeypatch, mesh_shape, names):
+    """Rank axes ride the FUSED Pallas stack (VERDICT r4 #3): each device
+    generates only its rank block via traced block salts inside the fused
+    kernels, and the psum-assembled container equals the single-chip
+    fused sketch to f32 summation tolerance."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(17)
+    shape = (11, 9, 30, 25)
+    nnz = 900
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz).astype(np.float32)
+    t_plain = SparseTensor(shape, idx, ent)
+    t_plan = t_plain.with_psi_plan(
+        indices=idx, entries=ent, threshold=8, chunk=128
+    )
+    kw = dict(left_rank=(4, 4, 4), right_rank=(8, 8, 8), seed=41)
+    single = stream_sketch(
+        t_plan, kw["left_rank"], kw["right_rank"], seed=kw["seed"],
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+        dtype=jnp.float32,
+    )
+    n_dev = int(np.prod(mesh_shape))
+    devices = np.array(jax.devices()[:n_dev]).reshape(mesh_shape)
+    mesh = Mesh(devices, names)
+    sharded = sharded_sparse_stream_sketch(
+        t_plain, mesh=mesh, data_axis="data",
+        left_rank_axis="left" if "left" in names else None,
+        right_rank_axis="right" if "right" in names else None,
+        dtype=jnp.float32, plan_threshold=8, plan_chunk=128, **kw
+    )
+    for a, b in zip(
+        single.sketch_.Psi_cores + single.sketch_.Omega_mats,
+        sharded.sketch_.Psi_cores + sharded.sketch_.Omega_mats,
+    ):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale
+        )
+
+
+@needs_8
 def test_sharded_dense_matches_single_chip():
     from tt_sketch_tpu.dist import sharded_dense_stream_sketch
 

@@ -37,11 +37,13 @@ from tt_sketch_tpu.formats.sparse import SparseTensor
 from tt_sketch_tpu.formats.tensor_sum import TensorSum
 from tt_sketch_tpu.formats.tensor_train import TensorTrain
 from tt_sketch_tpu.kernels.sketch_kernels import (
+    _omega_sparse_fused_salted,
+    _psi_omega_sparse_merged_salted,
+    _psi_sparse_fused_salted,
     _psi_sparse_segment,
     _use_pallas_psi,
-    sparse_streaming_sketch_fused,
 )
-from tt_sketch_tpu.rng.hash_rng import inds_to_normal_block
+from tt_sketch_tpu.rng.hash_rng import hash_int, inds_to_normal_block
 from tt_sketch_tpu.utils import TTRank, process_tt_rank
 
 
@@ -79,6 +81,19 @@ def _pad_nnz(indices, entries, multiple: int):
     return indices, entries
 
 
+def _block_salts(seed: int, step: int, off, blk: int):
+    """uint64 column salts ``hash(arange(blk) + off) + (seed + step)`` —
+    the parity path's column derivation at a TRACED block offset ``off``
+    (``axis_index · block``), so each device generates exactly its rank
+    block of the DRM from the broadcast seed (prefix-stable: block (i)
+    equals columns [i·blk, (i+1)·blk) of the full DRM)."""
+    seed_u = (
+        jnp.asarray(seed, jnp.uint64) + jnp.uint64(step)
+    ) % jnp.uint64(2 ** 63)
+    cols = jnp.arange(blk, dtype=jnp.uint64) + off.astype(jnp.uint64)
+    return hash_int(cols) + seed_u
+
+
 def _sharded_sparse_fused(
     tensor: SparseTensor,
     left_rank: Tuple[int, ...],
@@ -90,22 +105,37 @@ def _sharded_sparse_fused(
     dtype,
     plan_threshold: int,
     plan_chunk: Optional[int],
+    left_rank_axis: Optional[str] = None,
+    right_rank_axis: Optional[str] = None,
 ) -> SketchedTensorTrain:
-    """Data-parallel sharded sketch through the fused Pallas stack.
+    """Sharded sketch through the fused Pallas stack — data axis AND
+    optional rank axes (VERDICT r4 #3).
 
-    Each device runs the single-chip fused program
-    (``sparse_streaming_sketch_fused``: in-kernel hash-row generation,
-    merged Ψ+Ω, sorted equal-chunk segment reduction) on its own nnz shard,
-    with a per-shard sort/chunk plan built once on the host
-    (``build_shard_psi_plans``); one ``psum`` over ICI combines the partial
-    containers — exact by sketch linearity
+    Each device runs the single-chip fused kernels (in-kernel hash-row
+    generation, merged Ψ+Ω, sorted equal-chunk segment reduction) on its
+    own nnz shard, generating ONLY its rank block of each DRM via
+    per-device block salts (``_block_salts`` — a traced ``axis_index``
+    offset into the same prefix-stable column hash, so no DRM is ever
+    communicated).  Blocks are placed at their offsets and one ``psum``
+    over all mesh axes assembles the full containers — exact by sketch
+    linearity + the blocked decomposition
     (reference sketch_container.py:61-69, sketch.py:493-525).
     """
+    from tt_sketch_tpu.kernels.pallas_rng import (
+        flat_u32_pairs,
+        lazy_gaussian_pallas_from_salts,
+    )
     from tt_sketch_tpu.kernels.sparse_plan import build_shard_psi_plans
 
     d = len(tensor.shape)
     shape = tensor.shape
     n_data = mesh.shape[data_axis]
+    n_left = _axis_size(mesh, left_rank_axis)
+    n_right = _axis_size(mesh, right_rank_axis)
+    lb = _block_sizes(left_rank, n_left)
+    rb = _block_sizes(right_rank, n_right)
+    rank_split = left_rank_axis is not None or right_rank_axis is not None
+
     idx_shards, ent_shards, shard_plans = build_shard_psi_plans(
         np.asarray(tensor.indices),
         np.asarray(tensor.entries, dtype),
@@ -132,14 +162,113 @@ def _sharded_sparse_fused(
     right_drm = SparseGaussianDRM(
         right_rank, shape=shape, transpose=True, seed=right_seed, dtype=dtype
     )
+    mesh_axes = tuple(
+        a for a in (data_axis, left_rank_axis, right_rank_axis)
+        if a is not None
+    )
 
     def shard_fn(indices, entries, plans):
         local_plan = jax.tree.map(lambda x: x[0], plans)
-        local = SparseTensor(
-            shape, indices[0], entries[0], psi_plan=local_plan
-        )
-        Psi, Om = sparse_streaming_sketch_fused(local, left_drm, right_drm)
-        return jax.lax.psum((tuple(Psi), tuple(Om)), data_axis)
+        idx, ent = indices[0], entries[0]
+        li = _axis_index(left_rank_axis)
+        rj = _axis_index(right_rank_axis)
+
+        def lsalts_at(k):
+            return _block_salts(left_seed, k, li * lb[k], lb[k])
+
+        def rsalts_at(mu):
+            return _block_salts(
+                right_seed, d - 2 - mu, rj * rb[mu], rb[mu]
+            )
+
+        flat_cache = {}
+
+        def flat_pair(rev: bool, n_modes: int):
+            key = (rev, n_modes)
+            if key not in flat_cache:
+                ix = idx[::-1] if rev else idx
+                sh = shape[::-1] if rev else shape
+                flat_cache[key] = flat_u32_pairs(ix[:n_modes], sh[:n_modes])
+            return flat_cache[key]
+
+        Psi_blocks = [None] * d
+        Om_blocks = [None] * (d - 1)
+        for mu in range(d):
+            p = local_plan[mu]
+            fused = p is not None and p.sorted_entries is not None
+            merged = fused and mu < d - 1 and p.flat_left_om is not None
+            ls = lsalts_at(mu - 1) if mu > 0 else None
+            rs = rsalts_at(mu) if mu < d - 1 else None
+            r1b = lb[mu - 1] if mu > 0 else 1
+            r2b = rb[mu] if mu < d - 1 else 1
+            if merged:
+                psi_b, om_b = _psi_omega_sparse_merged_salted(
+                    p, shape[mu], ls, rs, lsalts_at(mu), r1b, r2b,
+                    lb[mu], dtype,
+                )
+                Om_blocks[mu] = om_b
+            elif fused:
+                psi_b = _psi_sparse_fused_salted(
+                    p, shape[mu], ls, rs, r1b, r2b, dtype
+                )
+            else:
+                lrows = (
+                    lazy_gaussian_pallas_from_salts(
+                        flat_pair(False, mu), ls
+                    ).astype(dtype)
+                    if mu > 0 else None
+                )
+                rrows = (
+                    lazy_gaussian_pallas_from_salts(
+                        flat_pair(True, d - 1 - mu), rs
+                    ).astype(dtype)
+                    if mu < d - 1 else None
+                )
+                psi_b = _psi_sparse_segment(
+                    lrows, rrows, ent, idx[mu], shape[mu]
+                )
+            Psi_blocks[mu] = psi_b
+        for mu in range(d - 1):
+            if Om_blocks[mu] is None:
+                Om_blocks[mu] = _omega_sparse_fused_salted(
+                    ent, flat_pair(False, mu + 1),
+                    flat_pair(True, d - 1 - mu),
+                    _block_salts(left_seed, mu, li * lb[mu], lb[mu]),
+                    rsalts_at(mu), lb[mu], rb[mu], dtype,
+                )
+
+        if not rank_split:
+            return jax.lax.psum(
+                (tuple(Psi_blocks), tuple(Om_blocks)), mesh_axes
+            )
+
+        # Place each rank block at its offset; edge cores have no rank
+        # axis on one side — keep exactly one copy to avoid double
+        # counting under the psum.
+        Psi_full, Om_full = [], []
+        for mu in range(d):
+            r1 = left_rank[mu - 1] if mu > 0 else 1
+            r2 = right_rank[mu] if mu < d - 1 else 1
+            full = jnp.zeros((r1, shape[mu], r2), dtype)
+            off1 = jnp.int32(li * lb[mu - 1]) if mu > 0 else jnp.int32(0)
+            off2 = jnp.int32(rj * rb[mu]) if mu < d - 1 else jnp.int32(0)
+            placed = jax.lax.dynamic_update_slice(
+                full, Psi_blocks[mu], (off1, jnp.int32(0), off2)
+            )
+            if mu == 0 and left_rank_axis is not None:
+                placed = placed * (li == 0)
+            if mu == d - 1 and right_rank_axis is not None:
+                placed = placed * (rj == 0)
+            Psi_full.append(placed)
+        for mu in range(d - 1):
+            full = jnp.zeros((left_rank[mu], right_rank[mu]), dtype)
+            Om_full.append(
+                jax.lax.dynamic_update_slice(
+                    full, Om_blocks[mu],
+                    (jnp.int32(li * lb[mu]), jnp.int32(rj * rb[mu])),
+                )
+            )
+        return jax.lax.psum((tuple(Psi_full), tuple(Om_full)), mesh_axes)
 
     in_specs = (P(data_axis), P(data_axis), P(data_axis))
     fn = jax.jit(
@@ -188,12 +317,14 @@ def sharded_sparse_stream_sketch(
     order.  ``data_axis`` shards nnz; ``left_rank_axis``/``right_rank_axis``
     shard the DRM rank dimensions (the blocked-sketch decomposition).
 
-    On the TPU fast path (f32/bf16, hash DRMs, no rank axes) each shard
-    runs the FUSED Pallas program — in-kernel row hashing, merged Ψ+Ω,
-    sorted equal-chunk reduction with host-built per-shard plans
-    (``plan_threshold``/``plan_chunk`` forwarded to the planner) — i.e. the
-    same per-chip kernels as the single-chip throughput record; rank-axis
-    sharding falls back to materialized rank-block row generation.
+    On the TPU fast path (f32/bf16, hash DRMs) each shard runs the FUSED
+    Pallas program — in-kernel row hashing, merged Ψ+Ω, sorted equal-chunk
+    reduction with host-built per-shard plans (``plan_threshold``/
+    ``plan_chunk`` forwarded to the planner) — i.e. the same per-chip
+    kernels as the single-chip throughput record.  Rank axes ride the same
+    fused kernels via per-device rank-block salts
+    (``_block_salts``; VERDICT r4 #3), so the 3-axis data×left×right mesh
+    runs the fused program per chip too.
     """
     from tt_sketch_tpu.config import DEFAULT_DTYPE
 
@@ -206,15 +337,11 @@ def sharded_sparse_stream_sketch(
     left_seed = int(seed % (2 ** 32 - 1))
     right_seed = int(_derive_right_seed(seed, d) % (2 ** 32 - 1))
 
-    if (
-        data_axis is not None
-        and left_rank_axis is None
-        and right_rank_axis is None
-        and _use_pallas_psi(jnp.dtype(dtype))
-    ):
+    if data_axis is not None and _use_pallas_psi(jnp.dtype(dtype)):
         return _sharded_sparse_fused(
             tensor, left_rank, right_rank, left_seed, right_seed,
             mesh, data_axis, dtype, plan_threshold, plan_chunk,
+            left_rank_axis=left_rank_axis, right_rank_axis=right_rank_axis,
         )
 
     n_data = _axis_size(mesh, data_axis)
@@ -403,9 +530,10 @@ def sharded_dense_stream_sketch(
         return jax.lax.psum(out, data_axis)
 
     fn = jax.jit(
+        # the dense path passes the varying-axes checker — keep it on
+        # (ADVICE r4: check_vma=False only where pallas_call/scan trip it)
         jax.shard_map(
             shard_fn, mesh=mesh, in_specs=P(data_axis), out_specs=P(),
-            check_vma=False,
         )
     )
     from tt_sketch_tpu.dist.multihost import make_global
@@ -480,9 +608,9 @@ def sharded_tt_sum_stream_sketch(
 
     in_specs = tuple(P(data_axis) for _ in summands_cores)
     fn = jax.jit(
+        # tt-sum path passes the varying-axes checker — keep it on
         jax.shard_map(
             shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
-            check_vma=False,
         )
     )
     from tt_sketch_tpu.dist.multihost import make_global

@@ -449,6 +449,33 @@ def sparse_sign_pallas_from_pairs(
     )
 
 
+def lazy_gaussian_pallas_from_salts(
+    flat_pair,
+    salts,
+    tile_n: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(len(salts), N) float32 lazy-Gaussian rows from a precomputed flat
+    (hi, lo) u32 pair and CALLER-SUPPLIED uint64 column salts.
+
+    The rank-axis-sharded engine uses this with per-device rank-block
+    salts ``hash(arange(blk) + li·blk) + seed`` whose offset is a TRACED
+    ``axis_index`` — the static-rank :func:`lazy_gaussian_pallas` cannot
+    express that, but the kernel itself only consumes the salt values."""
+    if interpret is None:
+        from tt_sketch_tpu.config import pallas_interpret
+
+        interpret = pallas_interpret()
+    flat_hi, flat_lo = flat_pair
+    R = int(salts.shape[0])
+    if tile_n is None:
+        R_pad = _round_up(max(R, 1), 8)
+        tile_n = max(2048, min(16384, _round_up(2 ** 17 // R_pad, 1024)))
+    return _generate_pairs(
+        flat_hi, flat_lo, salts, 0, R, int(tile_n), bool(interpret)
+    )
+
+
 def inds_to_normal_pallas(
     indices,
     shape: Sequence[int],

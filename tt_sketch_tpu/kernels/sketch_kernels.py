@@ -100,6 +100,22 @@ def _drm_side(drm, k: int):
     return side_spec(drm, k, _drm_step_seed(drm, k))
 
 
+def _omega_sparse_fused_salted(
+    entries, lflat, rflat, lsalts, rsalts, r1, r2, dtype,
+    lspec=("g",), rspec=("g",),
+):
+    """Ω_μ from the accumulating fused kernel with caller-supplied salts
+    (the rank-axis-sharded layer; see ``_psi_sparse_fused_salted``)."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import omega_fused
+
+    om = omega_fused(
+        entries, lflat, rflat, lsalts, rsalts,
+        interpret=pallas_interpret(), lspec=lspec, rspec=rspec,
+    )
+    return om[:r1, :r2].astype(dtype)
+
+
 def _omega_sparse_fused(tensor, mu, left_drm, right_drm):
     """Ω_μ with both DRM row families (Gaussian, sign, or mixed) hashed
     inside the accumulating Pallas kernel (kernels/pallas_psi.py:
@@ -107,8 +123,6 @@ def _omega_sparse_fused(tensor, mu, left_drm, right_drm):
     streaming program (30.6 ms of the 73 ms uber-scale sketch was list
     generation).  Seed/rank derivation identical to
     ``SparseGaussianDRM.sketch_sparse`` / ``SparseSignDRM.sketch_sparse``."""
-    from tt_sketch_tpu.config import pallas_interpret
-    from tt_sketch_tpu.kernels.pallas_psi import omega_fused
     from tt_sketch_tpu.kernels.pallas_rng import flat_u32_pairs
 
     d = len(tensor.shape)
@@ -120,13 +134,10 @@ def _omega_sparse_fused(tensor, mu, left_drm, right_drm):
     rflat = flat_u32_pairs(
         tensor.indices[::-1][: d - 1 - mu], tensor.shape[::-1][: d - 1 - mu]
     )
-    om = omega_fused(
+    return _omega_sparse_fused_salted(
         tensor.entries, lflat, rflat, lsalts, rsalts,
-        interpret=pallas_interpret(), lspec=lspec, rspec=rspec,
+        left_drm.rank[mu], right_drm.rank[mu_t], dtype, lspec, rspec,
     )
-    r1 = left_drm.rank[mu]
-    r2 = right_drm.rank[mu_t]
-    return om[:r1, :r2].astype(dtype)
 
 
 def sketch_omega_sparse(
@@ -422,6 +433,46 @@ def _can_fuse_psi(mp, tensor, mu, left_drm, right_drm) -> bool:
     return True
 
 
+def _psi_sparse_fused_salted(
+    plan, n_mu, lsalts, rsalts, r1, r2, dtype,
+    lspec=("g",), rspec=("g",),
+):
+    """Ψ_μ from the fused slab kernel with CALLER-SUPPLIED column salts —
+    the layer the rank-axis-sharded engine drives with per-device
+    rank-block salts (traced offsets; dist/sharded.py).  ``lsalts`` /
+    ``rsalts`` None marks the boundary modes."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import psi_fused_slabs
+
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
+    slabs = psi_fused_slabs(
+        plan.local_idx,
+        plan.sorted_entries,
+        plan.flat_left if lsalts is not None else None,
+        plan.flat_right if rsalts is not None else None,
+        lsalts,
+        rsalts,
+        n_chunks=nc,
+        span=S,
+        chunk=C,
+        interpret=pallas_interpret(),
+        lspec=lspec,
+        rspec=rspec,
+    )
+    if lsalts is not None and rsalts is not None:
+        R1p = slabs.shape[1] // S
+        flat = (
+            slabs.reshape(nc, S, R1p, slabs.shape[2])[:, :, :r1, :r2]
+            .reshape(nc * S, r1 * r2)
+        )
+    elif lsalts is None:
+        flat = slabs[:, :, :r2].reshape(nc * S, r2)
+    else:
+        flat = slabs[:, :, :r1].reshape(nc * S, r1)
+    psi = _combine_slabs(flat, plan, n_mu)
+    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
+
+
 def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
     """Ψ_μ via the fused Pallas kernel (kernels/pallas_psi.py): DRM rows
     hashed in-kernel at mode-sorted order from the plan's flat prefix/
@@ -431,12 +482,8 @@ def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
     exactly: left rows for Ψ_μ are generator step μ-1 (seed+μ-1); right
     rows are the *transposed* generator's step d-2-μ with the right DRM's
     (already reversed) rank slice."""
-    from tt_sketch_tpu.config import pallas_interpret
-    from tt_sketch_tpu.kernels.pallas_psi import psi_fused_slabs
-
     d = len(tensor.shape)
     dtype = tensor.entries.dtype
-    nc, S, C = plan.n_chunks, plan.span, plan.chunk
     lsalts = rsalts = None
     lspec = rspec = ("g",)
     r1 = r2 = 1
@@ -447,33 +494,9 @@ def _psi_sparse_fused(tensor, mu, plan, n_mu, left_drm, right_drm):
         mu_t = d - 2 - mu
         rspec, rsalts = _drm_side(right_drm, mu_t)
         r2 = right_drm.rank[mu_t]
-
-    slabs = psi_fused_slabs(
-        plan.local_idx,
-        plan.sorted_entries,
-        plan.flat_left if mu > 0 else None,
-        plan.flat_right if mu < d - 1 else None,
-        lsalts,
-        rsalts,
-        n_chunks=nc,
-        span=S,
-        chunk=C,
-        interpret=pallas_interpret(),
-        lspec=lspec,
-        rspec=rspec,
+    return _psi_sparse_fused_salted(
+        plan, n_mu, lsalts, rsalts, r1, r2, dtype, lspec, rspec
     )
-    if 0 < mu < d - 1:
-        R1p = slabs.shape[1] // S
-        flat = (
-            slabs.reshape(nc, S, R1p, slabs.shape[2])[:, :, :r1, :r2]
-            .reshape(nc * S, r1 * r2)
-        )
-    elif mu == 0:
-        flat = slabs[:, :, :r2].reshape(nc * S, r2)
-    else:
-        flat = slabs[:, :, :r1].reshape(nc * S, r1)
-    psi = _combine_slabs(flat, plan, n_mu)
-    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
 
 
 def _is_hash_pallas_drm(drm) -> bool:
@@ -653,33 +676,20 @@ def sketch_psi_tucker(left_sketch, right_sketch, *, tensor, mu, **kwargs):
     return jnp.einsum("ijk,jl->ilk", Psi, tensor.factors[mu])
 
 
-def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
-    """Ψ_μ and Ω_μ from the merged kernel (pallas_psi.py): one pass over
-    the mode-sorted stream, R_μ generated once for both.  Side specs
-    dispatch Gaussian vs sign per side (the Ω left side follows the left
-    DRM's family at step μ)."""
+def _psi_omega_sparse_merged_salted(
+    plan, n_mu, lsalts, rsalts, osalts, r1, r2, r1_om, dtype,
+    lspec=("g",), rspec=("g",), ospec=("g",),
+):
+    """Merged Ψ_μ+Ω_μ with caller-supplied salts (the rank-axis-sharded
+    layer; see ``_psi_sparse_fused_salted``).  ``lsalts`` None marks μ=0."""
     from tt_sketch_tpu.config import pallas_interpret
     from tt_sketch_tpu.kernels.pallas_psi import psi_omega_merged_slabs
 
-    d = len(tensor.shape)
-    dtype = tensor.entries.dtype
     nc, S, C = plan.n_chunks, plan.span, plan.chunk
-    lsalts = None
-    lspec = ("g",)
-    r1 = 1
-    if mu > 0:
-        lspec, lsalts = _drm_side(left_drm, mu - 1)
-        r1 = left_drm.rank[mu - 1]
-    mu_t = d - 2 - mu
-    rspec, rsalts = _drm_side(right_drm, mu_t)
-    r2 = right_drm.rank[mu_t]
-    ospec, osalts = _drm_side(left_drm, mu)
-    r1_om = left_drm.rank[mu]
-
     slabs, om = psi_omega_merged_slabs(
         plan.local_idx,
         plan.sorted_entries,
-        plan.flat_left if mu > 0 else None,
+        plan.flat_left if lsalts is not None else None,
         plan.flat_right,
         plan.flat_left_om,
         lsalts,
@@ -693,7 +703,7 @@ def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
         rspec=rspec,
         ospec=ospec,
     )
-    if mu > 0:
+    if lsalts is not None:
         R1p = slabs.shape[1] // S
         flat = (
             slabs.reshape(nc, S, R1p, slabs.shape[2])[:, :, :r1, :r2]
@@ -704,6 +714,30 @@ def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
     psi = _combine_slabs(flat, plan, n_mu)
     psi = psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
     return psi, om[:r1_om, :r2].astype(dtype)
+
+
+def _psi_omega_sparse_merged(tensor, mu, plan, n_mu, left_drm, right_drm):
+    """Ψ_μ and Ω_μ from the merged kernel (pallas_psi.py): one pass over
+    the mode-sorted stream, R_μ generated once for both.  Side specs
+    dispatch Gaussian vs sign per side (the Ω left side follows the left
+    DRM's family at step μ)."""
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    lsalts = None
+    lspec = ("g",)
+    r1 = 1
+    if mu > 0:
+        lspec, lsalts = _drm_side(left_drm, mu - 1)
+        r1 = left_drm.rank[mu - 1]
+    mu_t = d - 2 - mu
+    rspec, rsalts = _drm_side(right_drm, mu_t)
+    r2 = right_drm.rank[mu_t]
+    ospec, osalts = _drm_side(left_drm, mu)
+    r1_om = left_drm.rank[mu]
+    return _psi_omega_sparse_merged_salted(
+        plan, n_mu, lsalts, rsalts, osalts, r1, r2, r1_om, dtype,
+        lspec, rspec, ospec,
+    )
 
 
 def sparse_streaming_sketch_fused(tensor, left_drm, right_drm):

@@ -185,6 +185,198 @@ class ModePlan:
         )
 
 
+#: Modes above this size get an aligned-WINDOW direct-write plan
+#: (``WindowPlan``): the kernel writes each window's output rows in place
+#: (scalar-prefetch block index, in-kernel accumulation across a window's
+#: chunks), eliminating the slab→Ψ combine that dominated giant modes
+#: (lbnl mode 4: ~11 ms of gather/write traffic out of a 26 ms sketch —
+#: results/frostt_tpu_throughput.md, VERDICT r4 #2).
+DEFAULT_WINDOW_THRESHOLD = 65536
+
+
+@jax.tree_util.register_pytree_node_class
+class WindowPlan:
+    """Aligned-window direct-write grouping of one COO mode.
+
+    The mode's output rows are cut into ``n_windows`` aligned windows of
+    ``span`` rows (window w = rows [w·span, (w+1)·span)); the mode-sorted
+    nnz stream is padded per window to a multiple of ``chunk`` and cut
+    into chunks, consecutive chunks of one window being adjacent in the
+    grid.  The fused kernel computes each chunk's (span, r1·r2) window
+    block and writes it AT its window's rows via a scalar-prefetch block
+    index — accumulating across the window's chunks in place, so there is
+    no slab stack and no combine pass at all.
+
+    Device children:
+    - ``local_idx`` (n_chunks·chunk,) i32: row − window·span per padded
+      sorted slot (sentinel ``span`` for pads → contributes zero).
+    - ``sorted_entries`` (n_chunks·chunk,): entries at padded sorted
+      order, zeros at pads.
+    - ``flat_left``/``flat_right`` ((n_chunks·chunk,) u32 hi/lo pairs):
+      flat prefix/suffix hash inputs at padded sorted order (pad values
+      arbitrary — every contribution scales with the zero entry); None at
+      the boundary modes.
+    - ``chunk_window`` (n_chunks,) i32: window id per chunk (scalar
+      prefetch).
+    - ``chunk_first`` (n_chunks,) i32: 1 on a window's first chunk
+      (zero-initialize the output block before accumulating).
+
+    Static aux: ``n_chunks``, ``span``, ``chunk``, ``n_windows``.
+    ``n_windows·span ≥ n_mu``; callers slice the row padding off.
+    """
+
+    def __init__(
+        self,
+        local_idx,
+        chunk_window,
+        chunk_first,
+        n_chunks: int,
+        span: int,
+        chunk: int,
+        n_windows: int,
+        sorted_entries=None,
+        flat_left=None,
+        flat_right=None,
+    ) -> None:
+        self.local_idx = local_idx
+        self.chunk_window = chunk_window
+        self.chunk_first = chunk_first
+        self.n_chunks = int(n_chunks)
+        self.span = int(span)
+        self.chunk = int(chunk)
+        self.n_windows = int(n_windows)
+        self.sorted_entries = sorted_entries
+        self.flat_left = flat_left
+        self.flat_right = flat_right
+        # the merged Ψ+Ω kernel does not apply to window plans; the
+        # standalone fused Ω kernel covers those modes in nnz order
+        self.flat_left_om = None
+        self.gather_slots = None
+
+    def tree_flatten(self):
+        children = (
+            self.local_idx, self.chunk_window, self.chunk_first,
+            self.sorted_entries, self.flat_left, self.flat_right,
+        )
+        aux = (self.n_chunks, self.span, self.chunk, self.n_windows)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(
+            children[0], children[1], children[2], *aux,
+            sorted_entries=children[3], flat_left=children[4],
+            flat_right=children[5],
+        )
+
+    def transposed(self) -> "WindowPlan":
+        return WindowPlan(
+            self.local_idx, self.chunk_window, self.chunk_first,
+            self.n_chunks, self.span, self.chunk, self.n_windows,
+            sorted_entries=self.sorted_entries,
+            flat_left=self.flat_right, flat_right=self.flat_left,
+        )
+
+    def map_entries(self, fn) -> "WindowPlan":
+        if self.sorted_entries is None:
+            return self
+        return WindowPlan(
+            self.local_idx, self.chunk_window, self.chunk_first,
+            self.n_chunks, self.span, self.chunk, self.n_windows,
+            sorted_entries=fn(self.sorted_entries),
+            flat_left=self.flat_left, flat_right=self.flat_right,
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"<WindowPlan chunks={self.n_chunks} span={self.span} "
+            f"chunk={self.chunk} windows={self.n_windows}>"
+        )
+
+
+def build_window_plan(
+    idx,
+    n_mu: int,
+    span: int = 256,
+    chunk: Optional[int] = None,
+    *,
+    full_indices=None,
+    mu: Optional[int] = None,
+    shape: Optional[Sequence[int]] = None,
+    entries=None,
+) -> WindowPlan:
+    """Build the aligned-window direct-write plan for one giant mode.
+
+    ``span`` rows per window (padded to a multiple of 8); ``chunk`` nnz
+    per grid step (default 256 — giant modes have sparse rows, and
+    per-window padding grows with the chunk size)."""
+    idx = np.asarray(idx)
+    nnz = int(idx.shape[0])
+    span = ((int(span) + 7) // 8) * 8
+    C = int(chunk) if chunk is not None else 256
+
+    perm = np.argsort(idx, kind="stable").astype(np.int32)
+    sidx = idx[perm].astype(np.int64)
+    n_windows = max(1, -(-int(n_mu) // span))
+    win = sidx // span
+
+    # chunks per window: every window needs ≥1 grid step (zero-init its
+    # output rows); a window's nnz run is padded to a multiple of C
+    counts = np.bincount(win, minlength=n_windows)
+    chunks_per = np.maximum(1, -(-counts // C))
+    n_chunks = int(chunks_per.sum())
+    N_pad = n_chunks * C
+
+    # padded slot assignment: window w's run starts at chunk offset
+    # chunk_base[w]*C in the padded stream
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # position of each sorted nnz inside its window's run
+    pos_in_win = np.arange(nnz, dtype=np.int64) - starts[win]
+    slot = chunk_base[win] * C + pos_in_win
+
+    local = np.full(N_pad, span, np.int32)  # sentinel
+    local[slot] = (sidx - win * span).astype(np.int32)
+
+    chunk_window = np.repeat(
+        np.arange(n_windows, dtype=np.int32), chunks_per
+    )
+    first = np.zeros(n_chunks, np.int32)
+    first[chunk_base] = 1
+
+    sorted_entries = flat_left = flat_right = None
+    if full_indices is not None and entries is not None:
+        from tt_sketch_tpu.rng.hash_rng import _flat_index_np
+
+        def _pairs(flat_u64):
+            hi = np.zeros(N_pad, np.uint32)
+            lo = np.zeros(N_pad, np.uint32)
+            hi[slot] = (flat_u64 >> np.uint64(32)).astype(np.uint32)
+            lo[slot] = (flat_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            return hi, lo
+
+        full_indices = np.asarray(full_indices)
+        shape = tuple(int(s) for s in shape)
+        d = len(shape)
+        se = np.zeros(N_pad, np.asarray(entries).dtype)
+        se[slot] = np.asarray(entries)[perm]
+        sorted_entries = se
+        if mu > 0:
+            flat_left = _pairs(_flat_index_np(
+                full_indices[:mu][:, perm], shape[:mu]
+            ))
+        if mu < d - 1:
+            flat_right = _pairs(_flat_index_np(
+                full_indices[::-1][: d - 1 - mu][:, perm],
+                shape[::-1][: d - 1 - mu],
+            ))
+    return WindowPlan(
+        local, chunk_window, first, n_chunks, span, C, n_windows,
+        sorted_entries=sorted_entries, flat_left=flat_left,
+        flat_right=flat_right,
+    )
+
+
 def _pick_chunk(nnz: int, n_values: int, boundary: bool = False) -> int:
     """Chunk size from the mode's average occupancy per occurring value.
 
