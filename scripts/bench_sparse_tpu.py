@@ -48,6 +48,11 @@ def main() -> int:
         help="hash-family DRM pair: lazy Gaussian (fused kernels) or "
              "sparse-sign (Pallas row generation + grouped-plan psi)",
     )
+    p.add_argument(
+        "--method", choices=["streaming", "hmt"], default="streaming",
+        help="streaming STTA (fully fused) or the sequential HMT sweep "
+             "(half-fused: right rows in-kernel, chain rows sorted)",
+    )
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -95,29 +100,43 @@ def main() -> int:
 
     r = args.rank
     drm_type = SparseGaussianDRM if args.drm == "gaussian" else SparseSignDRM
-    kwargs = dict(
-        left_rank=r,
-        right_rank=2 * r,
-        left_drm_type=drm_type,
-        right_drm_type=drm_type,
-        dtype=dtype,
-        compile=True,
-    )
+    if args.method == "hmt":
+        from tt_sketch_tpu.engine.sketch import hmt_sketch
+
+        def run(seed):
+            return hmt_sketch(
+                tensor, r, seed=seed, drm_type=drm_type, dtype=dtype,
+                compile=True,
+            ).cores
+    else:
+        kwargs = dict(
+            left_rank=r,
+            right_rank=2 * r,
+            left_drm_type=drm_type,
+            right_drm_type=drm_type,
+            dtype=dtype,
+            compile=True,
+        )
+
+        def run(seed):
+            return stream_sketch(
+                tensor, seed=seed, **kwargs
+            ).sketch_.Psi_cores
 
     fence = jax.jit(
         lambda ps: sum(jnp.sum(P.astype(jnp.float32)) for P in ps)
     )
 
     t0 = time.perf_counter()
-    sk = stream_sketch(tensor, seed=42, **kwargs)
-    _ = float(fence(sk.sketch_.Psi_cores))
+    out = run(42)
+    _ = float(fence(out))
     t_compile = time.perf_counter() - t0
     print(f"warm-up (incl. compile + first readback): {t_compile:.2f} s",
           flush=True)
     fcosts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(fence(sk.sketch_.Psi_cores))
+        _ = float(fence(out))
         fcosts.append(time.perf_counter() - t0)
     fcosts.sort()
     fence_cost = fcosts[1]
@@ -128,17 +147,19 @@ def main() -> int:
     for i in range(args.repeats):
         t0 = time.perf_counter()
         for j in range(inner):
-            sk = stream_sketch(tensor, seed=100 + inner * i + j, **kwargs)
-        _ = float(fence(sk.sketch_.Psi_cores))
+            out = run(100 + inner * i + j)
+        _ = float(fence(out))
         times.append((time.perf_counter() - t0 - fence_cost) / inner)
     times.sort()
     med = times[len(times) // 2]
     d = len(tensor.shape)
-    # Each timed call hashes nnz rows for both DRM families at every one of
-    # the d-1 interior modes: nnz * (r + 2r) * (d-1) normal samples.
-    hashes = nnz * (r + 2 * r) * (d - 1)
+    # Streaming: each timed call hashes nnz rows for both DRM families at
+    # every one of the d-1 interior modes (r + 2r per nnz); HMT hashes the
+    # right family only (r per nnz per interior mode).
+    hashes = nnz * ((r + 2 * r) if args.method == "streaming" else r) * (d - 1)
     result = {
-        "metric": "sparse_stta_nnz_per_s",
+        "metric": f"sparse_{'stta' if args.method == 'streaming' else 'hmt'}"
+                  "_nnz_per_s",
         "drm": args.drm,
         "name": args.name,
         "nnz": nnz,

@@ -71,7 +71,9 @@ def main() -> int:
 
     @jax.jit
     def lists(t, ld, rd):
-        return ld.sketch_sparse(t), rd.sketch_sparse(t)
+        # list(): sketch_sparse is lazy now; force all modes for the
+        # materialization-cost ablation
+        return list(ld.sketch_sparse(t)), list(rd.sketch_sparse(t))
 
     @jax.jit
     def lists_om(t, ld, rd):

@@ -444,3 +444,214 @@ def test_hash_sorted_psi_sign_and_mixed(monkeypatch):
                 atol=5e-6 * scale,
                 err_msg=f"{lt.__name__} x {rt.__name__}",
             )
+
+
+def test_window_plan_builder_invariants():
+    """WindowPlan: every nnz lands in its aligned window's run, pads are
+    sentinels, every window has >= 1 chunk and its first chunk flagged."""
+    from tt_sketch_tpu.kernels.sparse_plan import build_window_plan
+
+    rng = np.random.default_rng(3)
+    n_mu = 1000
+    # skewed occupancy incl. empty windows and one hot row
+    idx = np.concatenate([
+        rng.integers(0, 80, 400),          # hot window region
+        rng.integers(900, 1000, 50),       # sparse tail
+        np.full(300, 7),                   # hot single row
+    ])
+    p = build_window_plan(idx, n_mu, span=64, chunk=128)
+    assert p.n_windows == -(-n_mu // 64)
+    assert p.chunk_window.shape == (p.n_chunks,)
+    assert p.chunk_first.sum() == p.n_windows
+    loc = np.asarray(p.local_idx).reshape(p.n_chunks, p.chunk)
+    win = np.asarray(p.chunk_window)
+    # non-sentinel slots reconstruct the original sorted rows per window
+    rows = []
+    for c in range(p.n_chunks):
+        ls = loc[c][loc[c] < p.span]
+        rows.extend((win[c] * p.span + ls).tolist())
+    np.testing.assert_array_equal(np.sort(rows), np.sort(idx))
+
+
+def test_window_direct_psi_matches_reference(monkeypatch):
+    """A giant-mode sparse STTA through the aligned-window direct-write
+    kernel (forced window plans on every mode) equals the plan-free f64
+    reference sketch — incl. multi-chunk windows (accumulation), empty
+    windows, and sign / mixed DRM pairs."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.drm.sparse_sign_drm import SparseSignDRM
+    from tt_sketch_tpu.kernels.sparse_plan import WindowPlan
+
+    rng = np.random.default_rng(23)
+    shape = (11, 9, 300, 25)
+    nnz = 1500
+    idx = np.stack([
+        rng.integers(0, 11, nnz),
+        rng.integers(0, 9, nnz),
+        # mode 2: skewed — hot rows force multi-chunk windows, high rows
+        # leave empty windows in between
+        np.where(rng.random(nnz) < 0.5,
+                 rng.integers(0, 20, nnz), rng.integers(250, 300, nnz)),
+        rng.integers(0, 25, nnz),
+    ]).astype(np.int32)
+    ent = rng.standard_normal(nnz)
+    t32 = SparseTensor(shape, idx, ent.astype(np.float32)).with_psi_plan(
+        indices=idx, entries=ent.astype(np.float32), threshold=8,
+        chunk=128, window_threshold=100, window_span=32,
+    )
+    assert isinstance(t32.psi_plan[2], WindowPlan)
+    t64 = SparseTensor(shape, idx, ent)
+    for lt, rt in [
+        (SparseGaussianDRM, SparseGaussianDRM),
+        (SparseSignDRM, SparseGaussianDRM),
+    ]:
+        s32 = stream_sketch(
+            t32, (4, 4, 4), (8, 8, 8), seed=5,
+            left_drm_type=lt, right_drm_type=rt, dtype=jnp.float32,
+        )
+        monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+        monkeypatch.delenv("TT_SKETCH_TPU_PALLAS_INTERPRET")
+        s64 = stream_sketch(
+            t64, (4, 4, 4), (8, 8, 8), seed=5,
+            left_drm_type=lt, right_drm_type=rt,
+        )
+        monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+        monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+        for a, b in zip(
+            s32.sketch_.Psi_cores + s32.sketch_.Omega_mats,
+            s64.sketch_.Psi_cores + s64.sketch_.Omega_mats,
+        ):
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b),
+                atol=3e-5 * scale,
+                err_msg=f"{lt.__name__} x {rt.__name__}",
+            )
+
+
+def test_window_plan_boundary_modes(monkeypatch):
+    """Window plans on the FIRST and LAST modes (the one-sided kernel
+    variants) match the f64 reference."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.kernels.sparse_plan import WindowPlan
+
+    rng = np.random.default_rng(29)
+    shape = (200, 9, 180)
+    nnz = 1100
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz)
+    t32 = SparseTensor(shape, idx, ent.astype(np.float32)).with_psi_plan(
+        indices=idx, entries=ent.astype(np.float32), threshold=8,
+        chunk=128, window_threshold=100, window_span=32,
+    )
+    assert isinstance(t32.psi_plan[0], WindowPlan)
+    assert isinstance(t32.psi_plan[2], WindowPlan)
+    t64 = SparseTensor(shape, idx, ent)
+    s32 = stream_sketch(
+        t32, (4, 4), (8, 8), seed=13,
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+        dtype=jnp.float32,
+    )
+    monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+    monkeypatch.delenv("TT_SKETCH_TPU_PALLAS_INTERPRET")
+    s64 = stream_sketch(
+        t64, (4, 4), (8, 8), seed=13,
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+    )
+    for a, b in zip(
+        s32.sketch_.Psi_cores + s32.sketch_.Omega_mats,
+        s64.sketch_.Psi_cores + s64.sketch_.Omega_mats,
+    ):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), atol=3e-5 * scale
+        )
+
+
+def test_sequential_methods_fused_right(monkeypatch):
+    """HMT and OTTS on planned sparse tensors ride the half-fused kernel
+    (right DRM rows generated in-kernel, chain rows fed sorted) and match
+    the f64 reference (VERDICT r4 #5: drm_kwargs no longer
+    streaming-only)."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.engine.sketch import hmt_sketch, orthogonal_sketch
+
+    rng = np.random.default_rng(31)
+    shape = (11, 9, 30, 25)
+    nnz = 1200
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz)
+    t32 = SparseTensor(shape, idx, ent.astype(np.float32)).with_psi_plan(
+        indices=idx, entries=ent.astype(np.float32), threshold=8, chunk=128
+    )
+    t64 = SparseTensor(shape, idx, ent)
+
+    for fn, kw in [
+        (hmt_sketch, dict(rank=(4, 4, 4), drm_type=SparseGaussianDRM)),
+        (orthogonal_sketch, dict(
+            left_rank=(4, 4, 4), right_rank=(8, 8, 8),
+            left_drm_type=SparseGaussianDRM,
+            right_drm_type=SparseGaussianDRM,
+        )),
+    ]:
+        tt32 = fn(t32, seed=9, dtype=jnp.float32, **kw)
+        monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+        monkeypatch.delenv("TT_SKETCH_TPU_PALLAS_INTERPRET")
+        tt64 = fn(t64, seed=9, **kw)
+        monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+        monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+        # sequential sweeps run QRs between modes: compare the recovered
+        # tensors, which are invariant to the per-core gauge
+        a = np.asarray(tt32.to_numpy(), np.float64)
+        b = np.asarray(tt64.to_numpy())
+        scale = float(np.abs(b).max())
+        np.testing.assert_allclose(
+            a, b, atol=2e-4 * scale, err_msg=fn.__name__
+        )
+
+
+def test_tensor_sum_of_sparse_fused(monkeypatch):
+    """A TensorSum of plan-carrying SparseTensors takes the fused
+    kernels per summand (VERDICT r4 #8) and matches the f64 reference;
+    the lazy dispatch must not materialize hash-DRM row lists."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    from tt_sketch_tpu.formats import TensorSum
+
+    rng = np.random.default_rng(37)
+    shape = (11, 9, 30, 25)
+
+    def mk(seed_i, n):
+        r = np.random.default_rng(seed_i)
+        idx = np.stack([r.integers(0, s, n) for s in shape]).astype(np.int32)
+        ent = r.standard_normal(n)
+        return idx, ent
+
+    parts = [mk(i, 700 + 100 * i) for i in range(3)]
+    t32 = TensorSum([
+        SparseTensor(shape, idx, ent.astype(np.float32)).with_psi_plan(
+            indices=idx, entries=ent.astype(np.float32),
+            threshold=8, chunk=128,
+        )
+        for idx, ent in parts
+    ])
+    t64 = TensorSum([SparseTensor(shape, idx, ent) for idx, ent in parts])
+    kw = dict(
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+    )
+    s32 = stream_sketch(t32, (4, 4, 4), (8, 8, 8), seed=3,
+                        dtype=jnp.float32, **kw)
+    monkeypatch.delenv("TT_SKETCH_TPU_FORCE_TPU")
+    monkeypatch.delenv("TT_SKETCH_TPU_PALLAS_INTERPRET")
+    s64 = stream_sketch(t64, (4, 4, 4), (8, 8, 8), seed=3, **kw)
+    for a, b in zip(
+        s32.sketch_.Psi_cores + s32.sketch_.Omega_mats,
+        s64.sketch_.Psi_cores + s64.sketch_.Omega_mats,
+    ):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-30)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), atol=3e-5 * scale
+        )

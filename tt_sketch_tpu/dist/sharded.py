@@ -94,12 +94,10 @@ def _block_salts(seed: int, step: int, off, blk: int):
     return hash_int(cols) + seed_u
 
 
-def _sharded_sparse_fused(
+def make_sharded_sparse_sketcher(
     tensor: SparseTensor,
     left_rank: Tuple[int, ...],
     right_rank: Tuple[int, ...],
-    left_seed: int,
-    right_seed: int,
     mesh: Mesh,
     data_axis: str,
     dtype,
@@ -107,18 +105,23 @@ def _sharded_sparse_fused(
     plan_chunk: Optional[int],
     left_rank_axis: Optional[str] = None,
     right_rank_axis: Optional[str] = None,
-) -> SketchedTensorTrain:
-    """Sharded sketch through the fused Pallas stack — data axis AND
-    optional rank axes (VERDICT r4 #3).
+):
+    """Prepare-once factory for the fused sharded sparse sketch: builds
+    the per-shard plans, stacks them, and compiles ONE shard_map program
+    with the DRMs passed as pytrees (seeds traced) — so repeated calls
+    with fresh seeds (streaming sessions, GMRES rounding, benchmarks)
+    reuse the compiled program and the host-side planning.
+
+    Returns ``sketch(left_drm, right_drm) -> SketchedTensorTrain``.
 
     Each device runs the single-chip fused kernels (in-kernel hash-row
     generation, merged Ψ+Ω, sorted equal-chunk segment reduction) on its
     own nnz shard, generating ONLY its rank block of each DRM via
     per-device block salts (``_block_salts`` — a traced ``axis_index``
     offset into the same prefix-stable column hash, so no DRM is ever
-    communicated).  Blocks are placed at their offsets and one ``psum``
-    over all mesh axes assembles the full containers — exact by sketch
-    linearity + the blocked decomposition
+    communicated; VERDICT r4 #3).  Blocks are placed at their offsets and
+    one ``psum`` over all mesh axes assembles the full containers — exact
+    by sketch linearity + the blocked decomposition
     (reference sketch_container.py:61-69, sketch.py:493-525).
     """
     from tt_sketch_tpu.kernels.pallas_rng import (
@@ -156,29 +159,23 @@ def _sharded_sparse_fused(
         for mu in range(d)
     )
 
-    left_drm = SparseGaussianDRM(
-        left_rank, shape=shape, transpose=False, seed=left_seed, dtype=dtype
-    )
-    right_drm = SparseGaussianDRM(
-        right_rank, shape=shape, transpose=True, seed=right_seed, dtype=dtype
-    )
     mesh_axes = tuple(
         a for a in (data_axis, left_rank_axis, right_rank_axis)
         if a is not None
     )
 
-    def shard_fn(indices, entries, plans):
+    def shard_fn(indices, entries, plans, ldrm, rdrm):
         local_plan = jax.tree.map(lambda x: x[0], plans)
         idx, ent = indices[0], entries[0]
         li = _axis_index(left_rank_axis)
         rj = _axis_index(right_rank_axis)
 
         def lsalts_at(k):
-            return _block_salts(left_seed, k, li * lb[k], lb[k])
+            return _block_salts(ldrm.seed, k, li * lb[k], lb[k])
 
         def rsalts_at(mu):
             return _block_salts(
-                right_seed, d - 2 - mu, rj * rb[mu], rb[mu]
+                rdrm.seed, d - 2 - mu, rj * rb[mu], rb[mu]
             )
 
         flat_cache = {}
@@ -233,7 +230,7 @@ def _sharded_sparse_fused(
                 Om_blocks[mu] = _omega_sparse_fused_salted(
                     ent, flat_pair(False, mu + 1),
                     flat_pair(True, d - 1 - mu),
-                    _block_salts(left_seed, mu, li * lb[mu], lb[mu]),
+                    _block_salts(ldrm.seed, mu, li * lb[mu], lb[mu]),
                     rsalts_at(mu), lb[mu], rb[mu], dtype,
                 )
 
@@ -270,7 +267,9 @@ def _sharded_sparse_fused(
             )
         return jax.lax.psum((tuple(Psi_full), tuple(Om_full)), mesh_axes)
 
-    in_specs = (P(data_axis), P(data_axis), P(data_axis))
+    # DRMs ride in as pytrees (seed leaves traced, replicated on every
+    # device) so a fresh seed does NOT retrace/recompile the program.
+    in_specs = (P(data_axis), P(data_axis), P(data_axis), P(), P())
     fn = jax.jit(
         jax.shard_map(
             shard_fn, mesh=mesh, in_specs=in_specs, out_specs=P(),
@@ -286,15 +285,50 @@ def _sharded_sparse_fused(
             lambda x: make_global(mesh, P(data_axis), x), tree
         )
 
-    Psi_cores, Omega_mats = fn(
-        globalize(jnp.asarray(idx_shards)),
-        globalize(jnp.asarray(ent_shards)),
-        globalize(plans_stacked),
+    g_idx = globalize(jnp.asarray(idx_shards))
+    g_ent = globalize(jnp.asarray(ent_shards))
+    g_plans = globalize(plans_stacked)
+
+    def sketch(left_drm, right_drm) -> SketchedTensorTrain:
+        Psi_cores, Omega_mats = fn(
+            g_idx, g_ent, g_plans, left_drm, right_drm
+        )
+        container = SketchContainer(
+            list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
+        )
+        return SketchedTensorTrain(container, left_drm, right_drm)
+
+    return sketch
+
+
+def _sharded_sparse_fused(
+    tensor: SparseTensor,
+    left_rank: Tuple[int, ...],
+    right_rank: Tuple[int, ...],
+    left_seed: int,
+    right_seed: int,
+    mesh: Mesh,
+    data_axis: str,
+    dtype,
+    plan_threshold: int,
+    plan_chunk: Optional[int],
+    left_rank_axis: Optional[str] = None,
+    right_rank_axis: Optional[str] = None,
+) -> SketchedTensorTrain:
+    """One-shot wrapper over :func:`make_sharded_sparse_sketcher`."""
+    sketch = make_sharded_sparse_sketcher(
+        tensor, left_rank, right_rank, mesh, data_axis, dtype,
+        plan_threshold, plan_chunk, left_rank_axis, right_rank_axis,
     )
-    container = SketchContainer(
-        list(Psi_cores), list(Omega_mats), shape, left_rank, right_rank
+    left_drm = SparseGaussianDRM(
+        left_rank, shape=tensor.shape, transpose=False, seed=left_seed,
+        dtype=dtype,
     )
-    return SketchedTensorTrain(container, left_drm, right_drm)
+    right_drm = SparseGaussianDRM(
+        right_rank, shape=tensor.shape, transpose=True, seed=right_seed,
+        dtype=dtype,
+    )
+    return sketch(left_drm, right_drm)
 
 
 def sharded_sparse_stream_sketch(

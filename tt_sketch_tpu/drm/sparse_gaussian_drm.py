@@ -15,7 +15,12 @@ from typing import List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 
-from tt_sketch_tpu.drm.base import CanIncreaseRank, CansketchSparse, handle_transpose
+from tt_sketch_tpu.drm.base import (
+    CanIncreaseRank,
+    CansketchSparse,
+    LazyModeList,
+    handle_transpose,
+)
 from tt_sketch_tpu.rng.hash_rng import inds_to_normal
 
 
@@ -33,8 +38,8 @@ class SparseGaussianDRM(CansketchSparse, CanIncreaseRank):
     @handle_transpose
     def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
         use_pallas = self._use_pallas()
-        out = []
-        for mu in range(len(tensor.shape) - 1):
+
+        def mode(mu: int) -> jnp.ndarray:
             # (mu + seed) mod 2^63 of the reference, in uint64 so a traced
             # seed leaf works (the 2^63 literal overflows int64 tracers)
             seed_mu = (
@@ -45,24 +50,26 @@ class SparseGaussianDRM(CansketchSparse, CanIncreaseRank):
                     inds_to_normal_pallas,
                 )
 
-                mat_t = inds_to_normal_pallas(
+                return inds_to_normal_pallas(
                     tensor.indices[: mu + 1],
                     tensor.shape[: mu + 1],
                     self.rank_min[mu],
                     self.rank_max[mu],
                     seed_mu,
                 ).astype(self.dtype)
-            else:
-                mat_t = inds_to_normal(
-                    tensor.indices[: mu + 1],
-                    tensor.shape[: mu + 1],
-                    self.rank_min[mu],
-                    self.rank_max[mu],
-                    seed_mu,
-                    dtype=self.dtype,
-                ).T
-            out.append(mat_t)
-        return out
+            return inds_to_normal(
+                tensor.indices[: mu + 1],
+                tensor.shape[: mu + 1],
+                self.rank_min[mu],
+                self.rank_max[mu],
+                seed_mu,
+                dtype=self.dtype,
+            ).T
+
+        # Lazy: the fused Pallas paths regenerate rows inside the
+        # consuming kernels, so modes the engine never reads are never
+        # materialized (drm/base.py:LazyModeList).
+        return LazyModeList(mode, len(tensor.shape) - 1)
 
     def _use_pallas(self) -> bool:
         """Fast path: the fused u32-pair Pallas generator, on TPU backends

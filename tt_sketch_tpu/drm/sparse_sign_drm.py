@@ -10,7 +10,12 @@ from typing import List, Optional, Tuple, Union
 
 import jax.numpy as jnp
 
-from tt_sketch_tpu.drm.base import CanSlice, CansketchSparse, handle_transpose
+from tt_sketch_tpu.drm.base import (
+    CanSlice,
+    CansketchSparse,
+    LazyModeList,
+    handle_transpose,
+)
 from tt_sketch_tpu.rng.hash_rng import inds_to_sparse_sign
 
 
@@ -32,8 +37,8 @@ class SparseSignDRM(CansketchSparse, CanSlice):
     @handle_transpose
     def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
         use_pallas = self._use_pallas()
-        out = []
-        for mu in range(len(tensor.shape) - 1):
+
+        def mode(mu: int) -> jnp.ndarray:
             seed_mu = (
                 jnp.asarray(self.seed, jnp.uint64) + jnp.uint64(mu)
             ) % jnp.uint64(2 ** 63)
@@ -42,7 +47,7 @@ class SparseSignDRM(CansketchSparse, CanSlice):
                     inds_to_sparse_sign_pallas,
                 )
 
-                mat_t = inds_to_sparse_sign_pallas(
+                return inds_to_sparse_sign_pallas(
                     tensor.indices[: mu + 1],
                     tensor.shape[: mu + 1],
                     self.true_rank[mu],
@@ -51,19 +56,19 @@ class SparseSignDRM(CansketchSparse, CanSlice):
                     self.nnz[mu],
                     seed_mu,
                 ).astype(self.dtype)
-            else:
-                mat_t = inds_to_sparse_sign(
-                    tensor.indices[: mu + 1],
-                    tensor.shape[: mu + 1],
-                    self.true_rank[mu],
-                    self.rank_min[mu],
-                    self.rank_max[mu],
-                    self.nnz[mu],
-                    seed_mu,
-                    dtype=self.dtype,
-                ).T
-            out.append(mat_t)
-        return out
+            return inds_to_sparse_sign(
+                tensor.indices[: mu + 1],
+                tensor.shape[: mu + 1],
+                self.true_rank[mu],
+                self.rank_min[mu],
+                self.rank_max[mu],
+                self.nnz[mu],
+                seed_mu,
+                dtype=self.dtype,
+            ).T
+
+        # Lazy: modes consumed only by fused kernels are never built
+        return LazyModeList(mode, len(tensor.shape) - 1)
 
     def _use_pallas(self) -> bool:
         """TPU fast path: the in-kernel hash + Fisher–Yates generator

@@ -107,8 +107,13 @@ def hmt_sketch(
     drm: Optional[DRM] = None,
     return_drm: bool = False,
     dtype=None,
+    compile: bool = False,
 ):
-    """One-sided Halko–Martinsson–Tropp-style sweep; returns a TensorTrain."""
+    """One-sided Halko–Martinsson–Tropp-style sweep; returns a TensorTrain.
+
+    ``compile=True`` runs the whole sweep (chain contractions, per-mode
+    QRs, Ψ kernels) as one jitted XLA program with the seed traced —
+    repeated sketches with fresh seeds reuse the compiled program."""
     if seed is None:
         seed = _random_seed()
     if drm is None:
@@ -124,7 +129,10 @@ def hmt_sketch(
                 f"Rank {rank} does not match the rank of the DRM {drm.rank}."
             )
 
-    sketch = general_sketch(tensor, None, drm, method=SketchMethod.hmt)
+    if compile:
+        sketch = _compiled_general_sketch(tensor, None, drm, "hmt")
+    else:
+        sketch = general_sketch(tensor, None, drm, method=SketchMethod.hmt)
     sketched = TensorTrain(sketch.Psi_cores)
     if return_drm:
         return sketched, drm

@@ -589,3 +589,251 @@ def psi_omega_merged_slabs(
         interpret=interpret,
     )(loc2, se2, rf_hi, rf_lo, lo_hi, lo_lo, rs_hi, rs_lo, os_hi, os_lo)
     return slabs, jnp.sum(om_partials, axis=0)
+
+
+# -- aligned-window direct-write Ψ kernel ------------------------------------
+#
+# Giant modes (lbnl's 868131) paid ~11 ms of slab→Ψ combine traffic per
+# sketch no matter how the combine was phrased (scatter-add: 43 ms; K
+# row-gathers: 11 ms — results/frostt_tpu_throughput.md).  This kernel
+# removes the combine entirely: the mode's output rows are cut into
+# ALIGNED windows of ``span`` rows; each grid step computes one chunk's
+# (span, r1·r2) window block and writes it AT the window's rows — the
+# output block index comes from the scalar-prefetched per-chunk window id
+# (kernels/sparse_plan.py:WindowPlan), and a window's chunks are adjacent
+# in the grid, accumulating in place (@pl.when zero-init on the first).
+# Ψ leaves the kernel finished; callers only slice the row padding.
+
+
+def _window_kernel(win_ref, first_ref, loc_ref, e_ref, lf_hi_ref, lf_lo_ref,
+                   rf_hi_ref, rf_lo_ref, ls_hi_ref, ls_lo_ref, rs_hi_ref,
+                   rs_lo_ref, out_ref, *, span: int, lspec=_GAUSS,
+                   rspec=_GAUSS):
+    c = pl.program_id(0)
+    C = loc_ref.shape[1]
+    L = _gen_spec_rows(lspec, ls_hi_ref[:, :], ls_lo_ref[:, :],
+                       lf_hi_ref[:, :], lf_lo_ref[:, :])     # (R1p, C)
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2p, C)
+    R1 = L.shape[0]
+    le = L * e_ref[0, :][None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(out_ref.dtype)
+    m1 = (onehot[:, None, :] * le[None, :, :]).reshape(span * R1, C)
+    slab = jnp.dot(m1, R.T, preferred_element_type=out_ref.dtype)
+
+    @pl.when(first_ref[c] == 1)
+    def _init():
+        out_ref[0] = slab
+
+    @pl.when(first_ref[c] == 0)
+    def _acc():
+        out_ref[0] += slab
+
+
+def _window_kernel_oneside(win_ref, first_ref, loc_ref, e_ref, f_hi_ref,
+                           f_lo_ref, s_hi_ref, s_lo_ref, out_ref, *,
+                           span: int, spec=_GAUSS):
+    c = pl.program_id(0)
+    C = loc_ref.shape[1]
+    rows = _gen_spec_rows(spec, s_hi_ref[:, :], s_lo_ref[:, :],
+                          f_hi_ref[:, :], f_lo_ref[:, :])    # (Rp, C)
+    re = rows * e_ref[0, :][None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(out_ref.dtype)
+    slab = jnp.dot(onehot, re.T, preferred_element_type=out_ref.dtype)
+
+    @pl.when(first_ref[c] == 1)
+    def _init():
+        out_ref[0] = slab
+
+    @pl.when(first_ref[c] == 0)
+    def _acc():
+        out_ref[0] += slab
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "span", "chunk", "n_windows", "interpret",
+        "lspec", "rspec",
+    ),
+)
+def psi_window_direct(
+    win,
+    first,
+    loc,
+    se,
+    lflat,
+    rflat,
+    lsalts,
+    rsalts,
+    n_chunks: int,
+    span: int,
+    chunk: int,
+    n_windows: int,
+    interpret: bool = False,
+    lspec=_GAUSS,
+    rspec=_GAUSS,
+):
+    """Finished Ψ window blocks written in place (see module comment).
+
+    ``win``/``first`` (n_chunks,) i32 scalar-prefetch arrays; the stream
+    inputs are already padded per window (WindowPlan).  Returns:
+      - both sides:  (n_windows, span·R1_pad, R2_pad)
+      - left=None:   (n_windows, span, R2_pad)
+      - right=None:  (n_windows, span, R1_pad)
+    Row r of the mode lives at window r//span, local row r%span.
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    C = chunk
+    N_pad = n_chunks * C
+    se2 = se.astype(jnp.float32).reshape(1, N_pad)
+    loc2 = loc.reshape(1, N_pad)
+
+    def col_spec(h):
+        return pl.BlockSpec(
+            (h, C), lambda c, w_ref, f_ref: (_i32(0), c),
+            memory_space=pltpu.VMEM,
+        )
+
+    def salt_spec(r):
+        return pl.BlockSpec(
+            (r, 1), lambda c, w_ref, f_ref: (_i32(0), _i32(0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    if lflat is not None and rflat is not None:
+        ls_rows, R1p = _side_pads(lspec, lsalts)
+        rs_rows, R2p = _side_pads(rspec, rsalts)
+        lf_hi, lf_lo = _pad_pair_cols(lflat, N_pad)
+        rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
+        ls_hi, ls_lo = _split_u64_rows(lsalts, ls_rows)
+        rs_hi, rs_lo = _split_u64_rows(rsalts, rs_rows)
+        grid_spec = _pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_chunks,),
+            in_specs=[col_spec(1)] * 6 + [salt_spec(ls_rows)] * 2
+            + [salt_spec(rs_rows)] * 2,
+            out_specs=pl.BlockSpec(
+                (1, span * R1p, R2p),
+                lambda c, w_ref, f_ref: (w_ref[c], _i32(0), _i32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        return pl.pallas_call(
+            partial(_window_kernel, span=span, lspec=lspec, rspec=rspec),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_windows, span * R1p, R2p), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(win, first, loc2, se2, lf_hi, lf_lo, rf_hi, rf_lo,
+          ls_hi, ls_lo, rs_hi, rs_lo)
+
+    if lflat is None:
+        spec, salts, flat = rspec, rsalts, rflat
+    else:
+        spec, salts, flat = lspec, lsalts, lflat
+    s_rows, Rp = _side_pads(spec, salts)
+    f_hi, f_lo = _pad_pair_cols(flat, N_pad)
+    s_hi, s_lo = _split_u64_rows(salts, s_rows)
+    grid_spec = _pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[col_spec(1)] * 4 + [salt_spec(s_rows)] * 2,
+        out_specs=pl.BlockSpec(
+            (1, span, Rp),
+            lambda c, w_ref, f_ref: (w_ref[c], _i32(0), _i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        partial(_window_kernel_oneside, span=span, spec=spec),
+        out_shape=jax.ShapeDtypeStruct((n_windows, span, Rp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(win, first, loc2, se2, f_hi, f_lo, s_hi, s_lo)
+
+
+# -- half-fused slab kernel: left rows as INPUT, right rows generated --------
+#
+# Sequential methods (HMT/OTTS) sketch with a LEFT side that is the chain
+# of already-orthogonalized cores contracted with the tensor — real data,
+# not a hash family — while the RIGHT side is still a hash DRM.  This
+# kernel takes the (sorted) chain rows as an input block and generates
+# the right rows in-kernel, so the right family is never materialized to
+# HBM and never perm-gathered (engine/dispatch.py drm_kwargs was
+# streaming-only before; VERDICT r4 #5).
+
+
+def _slab_genright_kernel(loc_ref, e_ref, l_ref, rf_hi_ref, rf_lo_ref,
+                          rs_hi_ref, rs_lo_ref, out_ref, *, span: int,
+                          rspec=_GAUSS):
+    C = loc_ref.shape[1]
+    r1 = l_ref.shape[0]
+    R = _gen_spec_rows(rspec, rs_hi_ref[:, :], rs_lo_ref[:, :],
+                       rf_hi_ref[:, :], rf_lo_ref[:, :])     # (R2p, C)
+    le = l_ref[:, :] * e_ref[0, :][None, :]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (span, C), 0)
+        == loc_ref[0, :][None, :]
+    ).astype(out_ref.dtype)
+    m1 = (onehot[:, None, :] * le[None, :, :]).reshape(span * r1, C)
+    out_ref[0] = jnp.dot(m1, R.T, preferred_element_type=out_ref.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_chunks", "span", "chunk", "interpret", "rspec"),
+)
+def psi_chunk_slabs_genright(
+    loc,
+    se,
+    sl,
+    rflat,
+    rsalts,
+    n_chunks: int,
+    span: int,
+    chunk: int,
+    interpret: bool = False,
+    rspec=_GAUSS,
+):
+    """Per-chunk Ψ slabs (n_chunks, span·r1, R2_pad) with left rows given
+    (``sl`` (r1, n_chunks·chunk), already sorted+padded) and right rows
+    hashed in-kernel from ``rflat``/``rsalts``/``rspec``."""
+    C = chunk
+    N_pad = n_chunks * C
+    nnz = se.shape[0]
+    r1 = sl.shape[0]
+    se2 = jnp.pad(se.astype(jnp.float32), (0, N_pad - nnz)).reshape(1, N_pad)
+    loc2 = loc.reshape(1, N_pad)
+
+    col_spec = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, C), lambda c: (_i32(0), c), memory_space=pltpu.VMEM
+    )
+    salt_spec = lambda r: pl.BlockSpec(  # noqa: E731
+        (r, 1), lambda c: (_i32(0), _i32(0)), memory_space=pltpu.VMEM
+    )
+    rs_rows, R2p = _side_pads(rspec, rsalts)
+    rf_hi, rf_lo = _pad_pair_cols(rflat, N_pad)
+    rs_hi, rs_lo = _split_u64_rows(rsalts, rs_rows)
+    return pl.pallas_call(
+        partial(_slab_genright_kernel, span=span, rspec=rspec),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, span * r1, R2p), jnp.float32
+        ),
+        grid=(n_chunks,),
+        in_specs=[col_spec(1), col_spec(1), col_spec(r1)]
+        + [col_spec(1)] * 2 + [salt_spec(rs_rows)] * 2,
+        out_specs=pl.BlockSpec(
+            (1, span * r1, R2p), lambda c: (c, _i32(0), _i32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(loc2, se2, sl, rf_hi, rf_lo, rs_hi, rs_lo)

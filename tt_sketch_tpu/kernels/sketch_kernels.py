@@ -140,6 +140,12 @@ def _omega_sparse_fused(tensor, mu, left_drm, right_drm):
     )
 
 
+def _materialize(side):
+    """Sides may arrive as lazy thunks (TensorSum dispatch) — call them
+    only when a path actually consumes the array."""
+    return side() if callable(side) else side
+
+
 def sketch_omega_sparse(
     left_sketch, right_sketch, *, tensor, mu=None,
     left_drm=None, right_drm=None, **kwargs
@@ -155,6 +161,8 @@ def sketch_omega_sparse(
     at FROSTT's 3.3M nnz (OOM on a 16 GB chip)."""
     if mu is not None and _can_fuse_omega(tensor, left_drm, right_drm):
         return _omega_sparse_fused(tensor, mu, left_drm, right_drm)
+    left_sketch = _materialize(left_sketch)
+    right_sketch = _materialize(right_sketch)
 
     def _rows_opaque(drm) -> bool:
         # Safe for the unchunked GEMM: rows that XLA cannot re-expand into
@@ -433,6 +441,48 @@ def _can_fuse_psi(mp, tensor, mu, left_drm, right_drm) -> bool:
     return True
 
 
+def _psi_sparse_window_salted(
+    plan, n_mu, lsalts, rsalts, r1, r2, dtype,
+    lspec=("g",), rspec=("g",),
+):
+    """Ψ_μ from the aligned-window direct-write kernel
+    (pallas_psi.psi_window_direct): finished window blocks, no combine.
+    ``plan`` is a WindowPlan (kernels/sparse_plan.py)."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import psi_window_direct
+
+    nw, S = plan.n_windows, plan.span
+    out = psi_window_direct(
+        plan.chunk_window,
+        plan.chunk_first,
+        plan.local_idx,
+        plan.sorted_entries,
+        plan.flat_left if lsalts is not None else None,
+        plan.flat_right if rsalts is not None else None,
+        lsalts,
+        rsalts,
+        n_chunks=plan.n_chunks,
+        span=S,
+        chunk=plan.chunk,
+        n_windows=nw,
+        interpret=pallas_interpret(),
+        lspec=lspec,
+        rspec=rspec,
+    )
+    if lsalts is not None and rsalts is not None:
+        R1p = out.shape[1] // S
+        flat = (
+            out.reshape(nw, S, R1p, out.shape[2])[:, :, :r1, :r2]
+            .reshape(nw * S, r1 * r2)
+        )
+    elif lsalts is None:
+        flat = out[:, :, :r2].reshape(nw * S, r2)
+    else:
+        flat = out[:, :, :r1].reshape(nw * S, r1)
+    psi = flat[:n_mu]
+    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
+
+
 def _psi_sparse_fused_salted(
     plan, n_mu, lsalts, rsalts, r1, r2, dtype,
     lspec=("g",), rspec=("g",),
@@ -440,10 +490,16 @@ def _psi_sparse_fused_salted(
     """Ψ_μ from the fused slab kernel with CALLER-SUPPLIED column salts —
     the layer the rank-axis-sharded engine drives with per-device
     rank-block salts (traced offsets; dist/sharded.py).  ``lsalts`` /
-    ``rsalts`` None marks the boundary modes."""
+    ``rsalts`` None marks the boundary modes.  WindowPlans (giant modes)
+    dispatch to the direct-write window kernel."""
     from tt_sketch_tpu.config import pallas_interpret
     from tt_sketch_tpu.kernels.pallas_psi import psi_fused_slabs
+    from tt_sketch_tpu.kernels.sparse_plan import WindowPlan
 
+    if isinstance(plan, WindowPlan):
+        return _psi_sparse_window_salted(
+            plan, n_mu, lsalts, rsalts, r1, r2, dtype, lspec, rspec
+        )
     nc, S, C = plan.n_chunks, plan.span, plan.chunk
     slabs = psi_fused_slabs(
         plan.local_idx,
@@ -591,10 +647,91 @@ def _psi_sparse_hash_sorted(tensor, mu, plan, n_mu, left_drm, right_drm):
     return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
 
 
+def _psi_sparse_halffused(
+    left_sketch, right_sketch, tensor, mu, plan, n_mu, left_drm, right_drm
+):
+    """Ψ_μ with ONE hash-family side generated in-kernel and the other
+    side's materialized rows fed in sorted order (one perm gather).
+
+    Covers the sequential methods' chain left side (HMT/OTTS — VERDICT
+    r4 #5) and streaming's mixed TT-DRM × hash pairs (a measured 39×
+    penalty when both sides fell to the grouped path).  The swapped case
+    (hash left, array right) reuses the same kernel with the roles
+    exchanged and the output block transposed."""
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_psi import psi_chunk_slabs_genright
+
+    d = len(tensor.shape)
+    dtype = tensor.entries.dtype
+    nc, S, C = plan.n_chunks, plan.span, plan.chunk
+    nnz = plan.sorted_entries.shape[0]
+    padn = nc * C - nnz
+    right_is_hash = mu < d - 1 and _is_hash_pallas_drm(right_drm)
+
+    if right_is_hash:
+        gen_spec, gen_salts = _drm_side(right_drm, d - 2 - mu)
+        gen_flat = plan.flat_right
+        r_gen = right_drm.rank[d - 2 - mu]
+        arr = left_sketch
+    else:
+        gen_spec, gen_salts = _drm_side(left_drm, mu - 1)
+        gen_flat = plan.flat_left
+        r_gen = left_drm.rank[mu - 1]
+        arr = right_sketch
+    arr = _materialize(arr)
+    if arr is not None:
+        sl = jnp.pad(
+            arr[:, plan.perm], ((0, 0), (0, padn))
+        ).astype(jnp.float32)
+        r_arr = arr.shape[0]
+    else:
+        sl = jnp.ones((1, nc * C), jnp.float32)
+        r_arr = 1
+    slabs = psi_chunk_slabs_genright(
+        plan.local_idx, plan.sorted_entries, sl, gen_flat, gen_salts,
+        n_chunks=nc, span=S, chunk=C, interpret=pallas_interpret(),
+        rspec=gen_spec,
+    )  # (nc, S*r_arr, R_gen_pad)
+    blocks = slabs.reshape(nc, S, r_arr, slabs.shape[2])[:, :, :, :r_gen]
+    if right_is_hash:
+        r1, r2 = r_arr, r_gen
+    else:
+        r1, r2 = r_gen, r_arr
+        blocks = blocks.transpose(0, 1, 3, 2)
+    flat = blocks.reshape(nc * S, r1 * r2)
+    psi = _combine_slabs(flat, plan, n_mu)
+    return psi.reshape(n_mu, r1, r2).transpose(1, 0, 2).astype(dtype)
+
+
+def _can_halffuse_psi(
+    mp, tensor, mu, left_sketch, right_sketch, left_drm, right_drm
+) -> bool:
+    """Exactly one consumed side is a hash-family DRM on the Pallas path,
+    the other side's rows are present as an array (a sequential chain
+    state or a materialized non-hash DRM), and the ModePlan carries the
+    sorted streams."""
+    from tt_sketch_tpu.kernels.sparse_plan import WindowPlan
+
+    if mp.sorted_entries is None or isinstance(mp, WindowPlan):
+        return False
+    if not _use_pallas_psi(tensor.entries.dtype):
+        return False
+    d = len(tensor.shape)
+    right_hash = mu < d - 1 and _is_hash_pallas_drm(right_drm)
+    left_hash = mu > 0 and _is_hash_pallas_drm(left_drm)
+    if right_hash and not left_hash:
+        return mu == 0 or left_sketch is not None
+    if left_hash and not right_hash:
+        return mu == d - 1 or right_sketch is not None
+    return False
+
+
 def sketch_psi_sparse(
     left_sketch, right_sketch, *, tensor, mu, psi_shape,
     left_drm=None, right_drm=None, **kwargs
 ):
+    from tt_sketch_tpu.kernels.sparse_plan import WindowPlan
+
     plan = getattr(tensor, "psi_plan", None)
     mp = plan[mu] if plan is not None else None
     if mp is not None:
@@ -602,20 +739,31 @@ def sketch_psi_sparse(
             return _psi_sparse_fused(
                 tensor, mu, mp, psi_shape[1], left_drm, right_drm
             )
-        if _can_hash_sorted_psi(mp, tensor, mu, left_drm, right_drm):
-            return _psi_sparse_hash_sorted(
-                tensor, mu, mp, psi_shape[1], left_drm, right_drm
+        if not isinstance(mp, WindowPlan):
+            # WindowPlans carry only the fused direct-write streams; for
+            # non-hash DRM sides the segment path below applies instead.
+            if _can_halffuse_psi(
+                mp, tensor, mu, left_sketch, right_sketch,
+                left_drm, right_drm,
+            ):
+                return _psi_sparse_halffused(
+                    left_sketch, right_sketch, tensor, mu, mp,
+                    psi_shape[1], left_drm, right_drm,
+                )
+            if _can_hash_sorted_psi(mp, tensor, mu, left_drm, right_drm):
+                return _psi_sparse_hash_sorted(
+                    tensor, mu, mp, psi_shape[1], left_drm, right_drm
+                )
+            return _psi_sparse_grouped(
+                _materialize(left_sketch),
+                _materialize(right_sketch),
+                tensor.entries,
+                mp,
+                psi_shape[1],
             )
-        return _psi_sparse_grouped(
-            left_sketch,
-            right_sketch,
-            tensor.entries,
-            mp,
-            psi_shape[1],
-        )
     return _psi_sparse_segment(
-        left_sketch,
-        right_sketch,
+        _materialize(left_sketch),
+        _materialize(right_sketch),
         tensor.entries,
         tensor.indices[mu],
         psi_shape[1],

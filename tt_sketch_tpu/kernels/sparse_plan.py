@@ -539,21 +539,32 @@ def build_psi_plan(
     threshold: int = DEFAULT_SORT_THRESHOLD,
     chunk: Optional[int] = None,
     entries=None,
+    window_threshold: int = DEFAULT_WINDOW_THRESHOLD,
+    window_span: int = 256,
 ) -> Tuple[Optional[ModePlan], ...]:
     """Per-mode plan tuple for a COO tensor (None = plain path for the mode).
 
     Pass host-side ``entries`` to enable the fused sorted-stream kernel
-    (sorted entries + flat hash inputs are precomputed per planned mode)."""
+    (sorted entries + flat hash inputs are precomputed per planned mode).
+    Modes above ``window_threshold`` get the aligned-window direct-write
+    plan instead (``WindowPlan`` — fused hash-family DRMs only; requires
+    ``entries``)."""
     indices = np.asarray(indices)
-    return tuple(
-        build_mode_plan(
+
+    def _plan(mu, n_mu):
+        if int(n_mu) <= threshold:
+            return None
+        if int(n_mu) > window_threshold and entries is not None:
+            return build_window_plan(
+                indices[mu], int(n_mu), span=window_span, chunk=chunk,
+                full_indices=indices, mu=mu, shape=shape, entries=entries,
+            )
+        return build_mode_plan(
             indices[mu], int(n_mu), chunk=chunk,
             full_indices=indices, mu=mu, shape=shape, entries=entries,
         )
-        if int(n_mu) > threshold
-        else None
-        for mu, n_mu in enumerate(shape)
-    )
+
+    return tuple(_plan(mu, n_mu) for mu, n_mu in enumerate(shape))
 
 
 def build_shard_psi_plans(
