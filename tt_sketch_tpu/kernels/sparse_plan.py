@@ -308,12 +308,15 @@ def build_window_plan(
     """Build the aligned-window direct-write plan for one giant mode.
 
     ``span`` rows per window (padded to a multiple of 8); ``chunk`` nnz
-    per grid step (default 256 — giant modes have sparse rows, and
-    per-window padding grows with the chunk size)."""
+    per grid step (default 512 — the measured optimum on the v5e for
+    lbnl's 868131-mode: 15.8-16.6 ms vs 17.0 at 256 and 16.7 at
+    span=chunk=512; `scripts/bench_r5_extras.py` window-geometry sweep).
+    Per-window padding grows with the chunk size, grid-step count shrinks.
+    """
     idx = np.asarray(idx)
     nnz = int(idx.shape[0])
     span = ((int(span) + 7) // 8) * 8
-    C = int(chunk) if chunk is not None else 256
+    C = int(chunk) if chunk is not None else 512
 
     perm = np.argsort(idx, kind="stable").astype(np.int32)
     sidx = idx[perm].astype(np.int64)
