@@ -53,6 +53,12 @@ def main() -> int:
         help="streaming STTA (fully fused) or the sequential HMT sweep "
              "(half-fused: right rows in-kernel, chain rows sorted)",
     )
+    p.add_argument(
+        "--sign-nnz", type=int, default=None,
+        help="sparse-sign nnz_per_row override (default: rank, the "
+             "reference semantics; small values are the classical sparse "
+             "construction and cut the in-kernel Fisher-Yates chain)",
+    )
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -100,6 +106,28 @@ def main() -> int:
 
     r = args.rank
     drm_type = SparseGaussianDRM if args.drm == "gaussian" else SparseSignDRM
+
+    def drm_objs(seed):
+        """Fresh-seed DRM pair per call (seeds are traced pytree leaves —
+        no recompile); only needed for the --sign-nnz override."""
+        if args.drm != "sign" or args.sign_nnz is None:
+            return {}
+        from tt_sketch_tpu.utils import process_tt_rank
+
+        lr = process_tt_rank(r, tensor.shape, trim=True)
+        rr = process_tt_rank(2 * r, tensor.shape, trim=False)
+        return dict(
+            left_drm=SparseSignDRM(
+                lr, tensor.shape, transpose=False, seed=seed,
+                num_non_zero_per_row=(args.sign_nnz,) * len(lr),
+                dtype=dtype,
+            ),
+            right_drm=SparseSignDRM(
+                rr, tensor.shape, transpose=True, seed=seed + 1,
+                num_non_zero_per_row=(args.sign_nnz,) * len(rr),
+                dtype=dtype,
+            ),
+        )
     if args.method == "hmt":
         from tt_sketch_tpu.engine.sketch import hmt_sketch
 
@@ -120,7 +148,7 @@ def main() -> int:
 
         def run(seed):
             return stream_sketch(
-                tensor, seed=seed, **kwargs
+                tensor, seed=seed, **kwargs, **drm_objs(seed)
             ).sketch_.Psi_cores
 
     fence = jax.jit(
