@@ -655,3 +655,37 @@ def test_tensor_sum_of_sparse_fused(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a, np.float64), np.asarray(b), atol=3e-5 * scale
         )
+
+
+def test_split_with_plans_fuses(monkeypatch):
+    """SparseTensor.split(psi_plan=True) shards carry plans and the
+    TensorSum sketch equals the unsplit planned sketch (the streaming-
+    session workflow at fused speed; VERDICT r4 #8)."""
+    monkeypatch.setenv("TT_SKETCH_TPU_FORCE_TPU", "1")
+    monkeypatch.setenv("TT_SKETCH_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(41)
+    shape = (11, 9, 30, 25)
+    nnz = 1500
+    idx = np.stack([rng.integers(0, s, nnz) for s in shape]).astype(np.int32)
+    ent = rng.standard_normal(nnz).astype(np.float32)
+    whole = SparseTensor(shape, idx, ent).with_psi_plan(
+        indices=idx, entries=ent, threshold=8, chunk=128
+    )
+    summed = SparseTensor(shape, idx, ent).split(
+        3, psi_plan=True, threshold=8, chunk=128
+    )
+    assert all(t.psi_plan is not None for t in summed.tensors)
+    kw = dict(
+        left_drm_type=SparseGaussianDRM, right_drm_type=SparseGaussianDRM,
+        dtype=jnp.float32,
+    )
+    s0 = stream_sketch(whole, (4, 4, 4), (8, 8, 8), seed=3, **kw)
+    s1 = stream_sketch(summed, (4, 4, 4), (8, 8, 8), seed=3, **kw)
+    for a, b in zip(
+        s0.sketch_.Psi_cores + s0.sketch_.Omega_mats,
+        s1.sketch_.Psi_cores + s1.sketch_.Omega_mats,
+    ):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-30)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale
+        )

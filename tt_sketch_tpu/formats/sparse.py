@@ -106,17 +106,28 @@ class SparseTensor(Tensor):
     def size(self) -> int:
         return self.nnz * (self.ndim + 1)
 
-    def split(self, n_summands: int):
-        """Split nnz into ``n_summands`` contiguous shards (a TensorSum)."""
+    def split(self, n_summands: int, psi_plan: bool = False, **plan_kwargs):
+        """Split nnz into ``n_summands`` contiguous shards (a TensorSum).
+
+        ``psi_plan=True`` attaches a sort/chunk plan to every shard
+        (``with_psi_plan`` kwargs forwarded), so a TensorSum built this
+        way rides the fused Pallas kernels per summand — the
+        streaming-session workflow at full fused speed.  Plan building
+        pulls the shard indices to the host: do this on host-resident
+        tensors (the loaders' default), not through the TPU tunnel.
+        """
         from tt_sketch_tpu.formats.tensor_sum import TensorSum
 
         block = self.nnz // n_summands
         parts: List[Tensor] = []
         for i in range(n_summands):
             sl = slice(i * block, (i + 1) * block if i < n_summands - 1 else self.nnz)
-            parts.append(
-                SparseTensor(self.shape, self.indices[:, sl], self.entries[sl])
+            part = SparseTensor(
+                self.shape, self.indices[:, sl], self.entries[sl]
             )
+            if psi_plan:
+                part = part.with_psi_plan(**plan_kwargs)
+            parts.append(part)
         return TensorSum(parts)
 
     def to_dense(self) -> jnp.ndarray:
