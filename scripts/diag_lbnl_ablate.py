@@ -126,14 +126,22 @@ def main() -> int:
         timeit(f"mode-{mu}", jax.jit(mode_fn))
 
     # Mode d-1 (the 868131 mode): kernel-only vs combine-only.
+    # (Round 5: the big mode normally gets a WindowPlan — the direct-write
+    # kernel IS the finished Ψ, so there is no combine to ablate; the
+    # slab/scatter stages below only apply to the legacy ModePlan and are
+    # skipped otherwise.  Window-geometry sweep: scripts/bench_r5_extras.py.)
     from tt_sketch_tpu.config import pallas_interpret
     from tt_sketch_tpu.kernels.pallas_psi import psi_fused_slabs
     from tt_sketch_tpu.kernels.pallas_rng import drm_salts
+    from tt_sketch_tpu.kernels.sparse_plan import WindowPlan
 
     mu_big = d - 1
     plan_big = tensor.psi_plan[mu_big]
+    if isinstance(plan_big, WindowPlan):
+        print(f"mode {mu_big} is a WindowPlan (no combine stage); see the "
+              "mode timing above and bench_r5_extras.py", flush=True)
 
-    def m4_slabs(t, ld, rd):
+    def m4_slabs(t, ld, rd):  # ModePlan only
         p = t.psi_plan[mu_big]
         seed_l = (
             jnp.asarray(ld.seed, jnp.uint64) + jnp.uint64(mu_big - 1)
@@ -147,11 +155,15 @@ def main() -> int:
             interpret=pallas_interpret(),
         )
 
-    timeit("m4-slabs", jax.jit(m4_slabs))
+    if not isinstance(plan_big, WindowPlan):
+        timeit("m4-slabs", jax.jit(m4_slabs))
 
     ld0, rd0 = drms(1)
-    slabs0 = jax.jit(m4_slabs)(tensor, ld0, rd0)
-    jax.block_until_ready(slabs0)
+    slabs0 = None
+    if not isinstance(plan_big, WindowPlan):
+        slabs0 = jax.jit(m4_slabs)(tensor, ld0, rd0)
+    if slabs0 is not None:
+        jax.block_until_ready(slabs0)
     n_big = host.shape[mu_big]
 
     @jax.jit
@@ -163,17 +175,18 @@ def main() -> int:
             .add(flat, mode="drop")
         )
 
-    out = m4_scatter(slabs0, plan_big.slot_rows)
-    jax.block_until_ready(out)
-    ts = []
-    for i in range(args.reps):
-        t0 = time.perf_counter()
-        for _ in range(3):
-            out = m4_scatter(slabs0, plan_big.slot_rows)
-        _ = fence(out)
-        ts.append((time.perf_counter() - t0 - fence_cost) / 3)
-    ts.sort()
-    print(f"{'m4-scatter':16s} {ts[len(ts)//2]*1e3:8.2f} ms", flush=True)
+    if slabs0 is not None:
+        out = m4_scatter(slabs0, plan_big.slot_rows)
+        jax.block_until_ready(out)
+        ts = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = m4_scatter(slabs0, plan_big.slot_rows)
+            _ = fence(out)
+            ts.append((time.perf_counter() - t0 - fence_cost) / 3)
+        ts.sort()
+        print(f"{'m4-scatter':16s} {ts[len(ts)//2]*1e3:8.2f} ms", flush=True)
 
     # Hash bound: the sketch's total hash count as standalone generation.
     from tt_sketch_tpu.kernels.pallas_rng import lazy_gaussian_pallas
