@@ -49,9 +49,10 @@ def main() -> int:
              "sparse-sign (Pallas row generation + grouped-plan psi)",
     )
     p.add_argument(
-        "--method", choices=["streaming", "hmt"], default="streaming",
-        help="streaming STTA (fully fused) or the sequential HMT sweep "
-             "(half-fused: right rows in-kernel, chain rows sorted)",
+        "--method", choices=["streaming", "hmt", "otts"],
+        default="streaming",
+        help="streaming STTA (fully fused), or a sequential sweep — HMT / "
+             "OTTS (half-fused: right rows in-kernel, chain rows sorted)",
     )
     p.add_argument(
         "--sign-nnz", type=int, default=None,
@@ -136,6 +137,14 @@ def main() -> int:
                 tensor, r, seed=seed, drm_type=drm_type, dtype=dtype,
                 compile=True,
             ).cores
+    elif args.method == "otts":
+        from tt_sketch_tpu.engine.sketch import orthogonal_sketch
+
+        def run(seed):
+            return orthogonal_sketch(
+                tensor, r, 2 * r, seed=seed, left_drm_type=drm_type,
+                right_drm_type=drm_type, dtype=dtype, compile=True,
+            ).cores
     else:
         kwargs = dict(
             left_rank=r,
@@ -185,9 +194,9 @@ def main() -> int:
     # every one of the d-1 interior modes (r + 2r per nnz); HMT hashes the
     # right family only (r per nnz per interior mode).
     hashes = nnz * ((r + 2 * r) if args.method == "streaming" else r) * (d - 1)
+    tag = {"streaming": "stta", "hmt": "hmt", "otts": "otts"}[args.method]
     result = {
-        "metric": f"sparse_{'stta' if args.method == 'streaming' else 'hmt'}"
-                  "_nnz_per_s",
+        "metric": f"sparse_{tag}_nnz_per_s",
         "drm": args.drm,
         "name": args.name,
         "nnz": nnz,

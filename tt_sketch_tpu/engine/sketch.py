@@ -150,8 +150,12 @@ def orthogonal_sketch(
     right_drm: Optional[DRM] = None,
     return_drm: bool = False,
     dtype=None,
+    compile: bool = False,
 ):
-    """Two-sided orthogonal sketch (OTTS); returns a TensorTrain."""
+    """Two-sided orthogonal sketch (OTTS); returns a TensorTrain.
+
+    ``compile=True``: one jitted XLA program, seed traced (see
+    ``hmt_sketch``)."""
     d = len(tensor.shape)
     if not bool(np.all(np.array(left_rank) < np.array(right_rank))):
         raise ValueError(
@@ -189,9 +193,14 @@ def orthogonal_sketch(
             f"{right_drm.rank}."
         )
 
-    sketch = general_sketch(
-        tensor, left_drm, right_drm, method=SketchMethod.orthogonal
-    )
+    if compile:
+        sketch = _compiled_general_sketch(
+            tensor, left_drm, right_drm, "orthogonal"
+        )
+    else:
+        sketch = general_sketch(
+            tensor, left_drm, right_drm, method=SketchMethod.orthogonal
+        )
     sketched = TensorTrain(sketch.Psi_cores)
     if return_drm:
         return sketched, left_drm, right_drm
