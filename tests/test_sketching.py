@@ -460,3 +460,79 @@ def test_chain_step_sparse_chunked_matches_unchunked(monkeypatch):
     # first-core path (state None) is a plain gather in both regimes
     first = ttdrm.chain_step_sparse(None, core[:1], idx)
     assert first.shape == (nnz, 5)
+
+
+def test_chain_step_sparse_t_matches_untransposed(monkeypatch):
+    """The transposed chain step (state kept lane-major (r, nnz) — the
+    layout the TPU Pallas chain kernel and the Ψ kernels use) must equal
+    ``chain_step_sparse(state.T).T`` exactly, in both chunk regimes."""
+    import tt_sketch_tpu.drm.tensor_train_drm as ttdrm
+
+    rng = np.random.default_rng(21)
+    core = jnp.asarray(rng.standard_normal((6, 23, 5)))
+    nnz = 4097
+    idx = jnp.asarray(rng.integers(0, 23, nnz))
+    state = jnp.asarray(rng.standard_normal((nnz, 6)))
+    ref = ttdrm.chain_step_sparse(state, core, idx)
+    got = ttdrm.chain_step_sparse_t(state.T, core, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref).T, atol=0)
+    monkeypatch.setattr(ttdrm, "_SPARSE_CHAIN_CHUNK", 512)
+    got_chunked = ttdrm.chain_step_sparse_t(state.T, core, idx)
+    np.testing.assert_allclose(
+        np.asarray(got_chunked), np.asarray(ref).T, atol=1e-13
+    )
+    first = ttdrm.chain_step_sparse_t(None, core[:1], idx)
+    np.testing.assert_allclose(
+        np.asarray(first),
+        np.asarray(ttdrm.chain_step_sparse(None, core[:1], idx)).T,
+        atol=0,
+    )
+
+
+def test_chain_step_pallas_interpret_matches_einsum():
+    """The one-hot MXU chain kernel (kernels/pallas_chain.py) regroups the
+    same multiply-adds as the einsum path — interpret mode must agree to
+    f32 rounding, including the padded tail chunk and the first-core
+    (state-free) variant."""
+    from tt_sketch_tpu.drm.tensor_train_drm import chain_step_sparse
+    from tt_sketch_tpu.kernels.pallas_chain import chain_step_t
+
+    rng = np.random.default_rng(33)
+    nnz, n, r1, r2 = 5000, 185, 7, 11
+    idx = jnp.asarray(rng.integers(0, n, nnz), jnp.int32)
+    core = jnp.asarray(
+        rng.standard_normal((r1, n, r2)), jnp.float32
+    )
+    state = jnp.asarray(rng.standard_normal((nnz, r1)), jnp.float32)
+    ref = chain_step_sparse(
+        state.astype(jnp.float64), core.astype(jnp.float64), idx
+    )
+    got = chain_step_t(state.T, core, idx, interpret=True)
+    assert got.shape == (r2, nnz)
+    err = np.max(np.abs(np.asarray(got) - np.asarray(ref).T))
+    assert err < 1e-4 * np.max(np.abs(np.asarray(ref)))
+    first_ref = chain_step_sparse(None, core[:1].astype(jnp.float64), idx)
+    first = chain_step_t(None, core[:1], idx, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(first), np.asarray(first_ref).T, atol=1e-6
+    )
+
+
+def test_sorted_rows_sort_path_matches_gather(monkeypatch):
+    """The TPU sort-by-inv-perm formulation of the sorted-row feed must be
+    bit-identical to the ``arr[:, perm]`` lane gather (it moves whole
+    rows; no arithmetic)."""
+    import tt_sketch_tpu.config as config
+    import tt_sketch_tpu.kernels.sketch_kernels as sk
+    from tt_sketch_tpu.kernels.sparse_plan import build_mode_plan
+
+    rng = np.random.default_rng(7)
+    nnz, n, r = 4099, 37, 6
+    idx = rng.integers(0, n, nnz)
+    plan = build_mode_plan(idx, n)
+    arr = jnp.asarray(rng.standard_normal((r, nnz)))
+    ref = arr[:, plan.perm]
+    assert plan.inv_perm is not None
+    monkeypatch.setattr(config, "is_tpu", lambda: True)
+    got = sk._sorted_rows(arr, plan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

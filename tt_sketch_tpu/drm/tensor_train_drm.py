@@ -69,6 +69,55 @@ def chain_step_sparse(state, core, indices_mu):
     return out.reshape(n_chunks * C, -1)[:nnz]
 
 
+def chain_step_sparse_t(state_t, core, indices_mu):
+    """Transposed chain step: ``(r2, nnz)`` state from ``(r1, nnz)``.
+
+    Same summands as ``chain_step_sparse`` (``out == step(state.T).T``)
+    but the state stays LANE-major — on TPU the (nnz, r) layout tiles to
+    (8, 128) and amplifies every read/write ~12.8×, and the XLA gather
+    path costs ~100 ms/mode at FROSTT scale regardless of the mode size
+    (scripts/diag_chain_ablate.py).  Small modes on TPU f32/bf16 ride the
+    one-hot MXU kernel (kernels/pallas_chain.py); everything else takes
+    the transposed einsum, chunked like ``chain_step_sparse``.
+    """
+    from tt_sketch_tpu.config import pallas_interpret
+    from tt_sketch_tpu.kernels.pallas_chain import (
+        chain_step_t,
+        use_pallas_chain,
+    )
+
+    n = core.shape[1]
+    nnz = indices_mu.shape[0]
+    if use_pallas_chain(core.dtype, n, nnz):
+        return chain_step_t(
+            state_t, core, indices_mu, interpret=pallas_interpret()
+        )
+    if state_t is None:
+        return core[0, indices_mu, :].T  # (r2, nnz)
+    r1 = state_t.shape[0]
+    if nnz <= _SPARSE_CHAIN_CHUNK:
+        return jnp.einsum(
+            "ijk,ij->kj", core[:, indices_mu, :], state_t
+        )
+    C = _SPARSE_CHAIN_CHUNK
+    n_chunks = -(-nnz // C)
+    pad = n_chunks * C - nnz
+    idx = jnp.pad(indices_mu, (0, pad)).reshape(n_chunks, C)
+    st = (
+        jnp.pad(state_t, ((0, 0), (0, pad)))
+        .reshape(r1, n_chunks, C)
+        .transpose(1, 0, 2)
+    )
+
+    def body(_, x):
+        i, s = x
+        return None, jnp.einsum("ijk,ij->kj", core[:, i, :], s)
+
+    _, out = jax.lax.scan(body, None, (idx, st))  # (n_chunks, r2, C)
+    r2 = core.shape[2]
+    return out.transpose(1, 0, 2).reshape(r2, n_chunks * C)[:, :nnz]
+
+
 def chain_step_tt(state, core, tensor_core):
     if state is None:
         return jnp.einsum("ijk,ijl->kl", tensor_core, core)
@@ -139,10 +188,10 @@ class TensorTrainDRM(
 
     @handle_transpose
     def sketch_sparse(self, tensor) -> List[jnp.ndarray]:
-        out, state = [], None
+        out, state_t = [], None
         for mu, core in enumerate(self.cores):
-            state = chain_step_sparse(state, core, tensor.indices[mu])
-            out.append(self._slice(state, mu).T)
+            state_t = chain_step_sparse_t(state_t, core, tensor.indices[mu])
+            out.append(state_t[self.rank_min[mu]: self.rank_max[mu], :])
         return out
 
     @handle_transpose

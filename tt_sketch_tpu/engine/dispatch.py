@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from tt_sketch_tpu.drm.tensor_train_drm import (
     chain_step_cp,
     chain_step_dense,
-    chain_step_sparse,
+    chain_step_sparse_t,
     chain_step_tt,
     chain_step_tucker,
 )
@@ -180,8 +180,10 @@ class _OrthogChain:
             return tuple(child.push(core) for child in self.children)
         t, mu = self.tensor, self.mu
         if isinstance(t, SparseTensor):
-            self.state = chain_step_sparse(self.state, core, t.indices[mu])
-            out = self.state.T
+            # state kept transposed (r, nnz) — the lane-major layout the
+            # Ψ kernels consume and the Pallas chain kernel writes
+            self.state = chain_step_sparse_t(self.state, core, t.indices[mu])
+            out = self.state
         elif isinstance(t, TensorTrain):
             self.state = chain_step_tt(self.state, core, t.cores[mu])
             out = self.state

@@ -243,6 +243,26 @@ def _combine_slabs(flat, plan, n_mu):
     )
 
 
+def _sorted_rows(arr, plan):
+    """``arr[:, plan.perm]`` — a (r, nnz) row family permuted into the
+    plan's mode-sorted order.
+
+    On TPU the lane-axis gather runs far off memory bandwidth (83 ms for
+    10×3.3M f32 at FROSTT-uber mode 2); sorting the rows by the plan's
+    ``inv_perm`` key through the variadic ``lax.sort`` is the same
+    permutation at 30 ms (scripts/diag_perm_gather.py).  CPU keeps the
+    gather (its take is fine and f64-exact either way — the sort moves
+    whole rows, so values are bit-identical in both formulations)."""
+    from tt_sketch_tpu.config import is_tpu
+
+    inv = getattr(plan, "inv_perm", None)
+    if inv is None or not is_tpu():
+        return arr[:, plan.perm]
+    ops = [inv] + [arr[i] for i in range(arr.shape[0])]
+    out = jax.lax.sort(ops, num_keys=1)
+    return jnp.stack(out[1:])
+
+
 def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
     """Ψ segment reduction over a sort/chunk plan (kernels/sparse_plan.py).
 
@@ -266,9 +286,12 @@ def _psi_sparse_grouped(left, right, entries, plan, n_mu, group_batch=16):
     )
     nnz = entries.shape[0]
     nc, S, C = plan.n_chunks, plan.span, plan.chunk
-    se = entries[plan.perm]
-    sl = left[:, plan.perm] if left is not None else None
-    sr = right[:, plan.perm] if right is not None else None
+    se = (
+        plan.sorted_entries.astype(entries.dtype)
+        if plan.sorted_entries is not None else entries[plan.perm]
+    )
+    sl = _sorted_rows(left, plan) if left is not None else None
+    sr = _sorted_rows(right, plan) if right is not None else None
 
     if _use_pallas_psi(dtype):
         from tt_sketch_tpu.kernels.pallas_psi import psi_chunk_slabs
@@ -681,7 +704,7 @@ def _psi_sparse_halffused(
     arr = _materialize(arr)
     if arr is not None:
         sl = jnp.pad(
-            arr[:, plan.perm], ((0, 0), (0, padn))
+            _sorted_rows(arr, plan), ((0, 0), (0, padn))
         ).astype(jnp.float32)
         r_arr = arr.shape[0]
     else:

@@ -61,6 +61,9 @@ class ModePlan:
     static aux data so one compiled program serves any entries/seed.
 
     - ``perm`` (nnz,) i32: argsort of the mode's indices.
+    - ``inv_perm`` (nnz,) i32 or None: its inverse — on TPU, sorting rows
+      by this key replaces the ``arr[:, perm]`` lane gather (measured
+      2.8x/1.2x faster at FROSTT scale, scripts/diag_perm_gather.py).
     - ``local_idx`` (n_chunks·chunk,) i32: sorted index minus its chunk's
       base row, padded with the sentinel ``span`` (matches no one-hot row).
     - ``slot_rows`` (n_chunks·span,) i32: global output row per slab slot
@@ -113,8 +116,10 @@ class ModePlan:
         flat_right=None,
         flat_left_om=None,
         gather_slots=None,
+        inv_perm=None,
     ) -> None:
         self.perm = perm
+        self.inv_perm = inv_perm
         self.local_idx = local_idx
         self.slot_rows = slot_rows
         self.n_chunks = int(n_chunks)
@@ -130,7 +135,7 @@ class ModePlan:
         children = (
             self.perm, self.local_idx, self.slot_rows,
             self.sorted_entries, self.flat_left, self.flat_right,
-            self.flat_left_om, self.gather_slots,
+            self.flat_left_om, self.gather_slots, self.inv_perm,
         )
         aux = (self.n_chunks, self.span, self.chunk)
         return children, aux
@@ -141,7 +146,7 @@ class ModePlan:
             children[0], children[1], children[2], *aux,
             sorted_entries=children[3], flat_left=children[4],
             flat_right=children[5], flat_left_om=children[6],
-            gather_slots=children[7],
+            gather_slots=children[7], inv_perm=children[8],
         )
 
     def transposed(self) -> "ModePlan":
@@ -155,7 +160,7 @@ class ModePlan:
             sorted_entries=self.sorted_entries,
             flat_left=self.flat_right, flat_right=self.flat_left,
             flat_left_om=None,
-            gather_slots=self.gather_slots,
+            gather_slots=self.gather_slots, inv_perm=self.inv_perm,
         )
 
     def map_entries(self, fn) -> "ModePlan":
@@ -170,7 +175,7 @@ class ModePlan:
             sorted_entries=fn(self.sorted_entries),
             flat_left=self.flat_left, flat_right=self.flat_right,
             flat_left_om=self.flat_left_om,
-            gather_slots=self.gather_slots,
+            gather_slots=self.gather_slots, inv_perm=self.inv_perm,
         )
 
     def __repr__(self) -> str:
@@ -528,11 +533,13 @@ def build_mode_plan(
                 full_indices[::-1][: d - 1 - mu][:, perm],
                 shape[::-1][: d - 1 - mu],
             ))
+    inv_perm = np.empty(nnz, np.int32)
+    inv_perm[perm] = np.arange(nnz, dtype=np.int32)
     return ModePlan(
         perm, local_idx, slot_rows, n_chunks, span, C,
         sorted_entries=sorted_entries, flat_left=flat_left,
         flat_right=flat_right, flat_left_om=flat_left_om,
-        gather_slots=gather_slots,
+        gather_slots=gather_slots, inv_perm=inv_perm,
     )
 
 
